@@ -1,0 +1,118 @@
+"""Unit tests for ops: pooling, subsample, initializers, attention core."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from txt2vid_tpu.ops.pooling import (
+    avg_pool_3d_shape_aware, max_pool_2d, max_pool_3d, upsample_nearest_2d)
+from txt2vid_tpu.ops.subsample import subsample_video, multiscale_pyramid
+from txt2vid_tpu.ops.attention import attention_core
+from txt2vid_tpu.ops.initializers import make_kernel_init
+
+
+class TestPooling:
+    def test_avg_pool_shape_aware_even(self):
+        x = jnp.ones((2, 16, 8, 8, 3))
+        y = avg_pool_3d_shape_aware(x)
+        assert y.shape == (2, 8, 4, 4, 3)
+        np.testing.assert_allclose(y, 1.0, rtol=1e-6)
+
+    def test_avg_pool_skips_size_one_dims(self):
+        # reference DownSample only pools dims > 1 (models/layers.py:207-215)
+        x = jnp.ones((2, 1, 4, 4, 3))
+        y = avg_pool_3d_shape_aware(x)
+        assert y.shape == (2, 1, 2, 2, 3)
+
+    def test_avg_pool_odd_dim_pads(self):
+        # odd dims pad by 1 both sides, zeros included in the mean (torch
+        # count_include_pad=True)
+        x = jnp.ones((1, 1, 5, 4, 1))
+        y = avg_pool_3d_shape_aware(x)
+        assert y.shape == (1, 1, 3, 2, 1)
+        # first output row covers pad+row0 => mean = 2/4
+        np.testing.assert_allclose(y[0, 0, 0, 0, 0], 0.5, rtol=1e-6)
+
+    def test_max_pool(self):
+        x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+        y = max_pool_2d(x)
+        assert y.shape == (1, 2, 2, 1)
+        assert float(y[0, 0, 0, 0]) == 5.0
+
+        v = jnp.ones((1, 4, 4, 4, 2))
+        assert max_pool_3d(v).shape == (1, 4, 2, 2, 2)
+
+    def test_upsample_nearest(self):
+        x = jnp.array([[1.0, 2.0], [3.0, 4.0]]).reshape(1, 2, 2, 1)
+        y = upsample_nearest_2d(x)
+        assert y.shape == (1, 4, 4, 1)
+        assert float(y[0, 0, 1, 0]) == 1.0
+        assert float(y[0, 3, 3, 0]) == 4.0
+
+
+class TestSubsample:
+    def test_shapes_and_phase(self):
+        x = jnp.arange(4 * 8 * 2 * 2 * 1.0).reshape(4, 8, 2, 2, 1)
+        y, bt = subsample_video(x, jax.random.key(0))
+        assert y.shape == (2, 4, 2, 2, 1)
+        # batch rows are x[0], x[2]; frames start at bt with stride 2
+        np.testing.assert_allclose(np.asarray(y[0, 0]), np.asarray(x[0, int(bt)]))
+        np.testing.assert_allclose(np.asarray(y[1, 1]), np.asarray(x[2, int(bt) + 2]))
+
+    def test_phase_varies(self):
+        x = jnp.zeros((2, 4, 1, 1, 1))
+        phases = {int(subsample_video(x, jax.random.key(s))[1]) for s in range(20)}
+        assert phases == {0, 1}
+
+    def test_multiscale_pyramid(self):
+        x = jnp.ones((8, 16, 64, 64, 3))
+        cond = jnp.ones((8, 5))
+        xs, conds = multiscale_pyramid(x, cond, [8, 16, 32, 64], jax.random.key(0),
+                                       subsample_input=True)
+        assert [a.shape for a in xs] == [
+            (8, 16, 8, 8, 3), (4, 8, 16, 16, 3), (2, 4, 32, 32, 3), (1, 2, 64, 64, 3)]
+        assert [c.shape[0] for c in conds] == [8, 4, 2, 1]
+
+    def test_multiscale_no_subsample(self):
+        x = jnp.ones((4, 16, 32, 32, 3))
+        xs, conds = multiscale_pyramid(x, None, [16, 32], jax.random.key(0),
+                                       subsample_input=False)
+        assert [a.shape for a in xs] == [(4, 16, 16, 16, 3), (4, 16, 32, 32, 3)]
+        assert conds is None
+
+
+class TestAttention:
+    def test_matches_explicit_softmax(self):
+        k = jax.random.key(0)
+        kt, kp, kg = jax.random.split(k, 3)
+        theta = jax.random.normal(kt, (2, 16, 4))
+        phi = jax.random.normal(kp, (2, 8, 4))
+        g = jax.random.normal(kg, (2, 8, 6))
+        o = attention_core(theta, phi, g)
+        beta = jax.nn.softmax(jnp.einsum("bnd,bmd->bnm", theta, phi), axis=-1)
+        expected = jnp.einsum("bnm,bmv->bnv", beta, g)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(expected), atol=1e-5)
+
+
+class TestInitializers:
+    def test_xavier_std(self):
+        init = make_kernel_init("xavier")
+        w = init(jax.random.key(0), (256, 512))
+        expected = np.sqrt(2.0 / (256 + 512))
+        assert abs(float(w.std()) - expected) / expected < 0.05
+
+    def test_xavier_gain(self):
+        init = make_kernel_init("xavier", np.sqrt(2.0))
+        w = init(jax.random.key(0), (256, 512))
+        expected = np.sqrt(2.0) * np.sqrt(2.0 / (256 + 512))
+        assert abs(float(w.std()) - expected) / expected < 0.05
+
+    def test_normal(self):
+        init = make_kernel_init("normal")
+        w = init(jax.random.key(0), (512, 512))
+        assert abs(float(w.std()) - 0.02) < 0.002
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            make_kernel_init("nope")

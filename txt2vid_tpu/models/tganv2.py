@@ -1,0 +1,160 @@
+"""TGANv2 multi-scale generator & discriminator (reference txt2vid/models/tganv2/,
+tganv2_cond/ share this implementation — the conditional variant differs only in the
+latent concat and a non-local block, see txt2vid_tpu/models/tganv2_cond.py).
+
+Generator (reference tganv2/gen.py): z [‖ cond] -> fc -> (fm_h, fm_w, 1024) latent
+plane -> ConvLSTM unroll of `num_frames` steps -> frames merged into batch -> base
+UpBlock stack 1024-512-256-128 -> `additional_blocks` UpBlocks, each paired with a
+RenderBlock; during training a Subsample (batch & frames halve, random phase) runs
+between blocks and every scale is rendered; at eval only the final scale is rendered.
+
+Discriminator (reference tganv2/discrim.py): one shared (or per-scale) Resnet3D applied
+to the positional list of scales.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from txt2vid_tpu.models.layers import UpBlock, RenderBlock
+from txt2vid_tpu.models.conv_lstm import ConvLSTM
+from txt2vid_tpu.models.resnet3d import Resnet3D
+from txt2vid_tpu.ops.initializers import make_kernel_init
+from txt2vid_tpu.ops.subsample import subsample_video
+
+
+class BaseFrameGen(nn.Module):
+    """UpBlock stack 1024 -> 512 -> 256 -> 128 (reference tganv2/gen.py:7-20)."""
+
+    in_channels: int = 1024
+    out_channels: int = 128
+    init_method: str = "xavier"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = UpBlock(self.in_channels, 512, init_method=self.init_method, name="up0")(x, train)
+        x = UpBlock(512, 256, init_method=self.init_method, name="up1")(x, train)
+        x = UpBlock(256, self.out_channels, init_method=self.init_method, name="up2")(x, train)
+        return x
+
+
+class MultiScaleGen(nn.Module):
+    """z: (B, latent_size) [, cond: (B, cond_dim)] -> list of rendered videos
+    (B_i, T_i, H_i, W_i, C), smallest scale first; B_i = B/2^i, T_i = T/2^i while
+    training (subsample pyramid), single final scale at eval.
+
+    `with_non_local` adds an Attention after additional block len-2 (the conditional
+    variant's only architectural difference, tganv2_cond/gen.py:58). Needs an rng
+    stream named "sample" when train=True (subsample phase)."""
+
+    latent_size: int = 256
+    width: int = 128
+    height: int = 128
+    num_channels: int = 3
+    additional_blocks: Sequence[int] = (64, 32, 32)
+    fm_channels: int = 1024
+    num_frames: int = 16
+    cond_dim: int = 0
+    no_lstm: bool = False
+    with_non_local: bool = False
+    init_method: str = "xavier"
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, z, cond=None, train: bool = True, output_blocks=None):
+        fm_w = max(1, self.width // 64)
+        fm_h = max(1, self.height // 64)
+        fm_size = fm_w * fm_h * self.fm_channels
+        ki = make_kernel_init(self.init_method)
+
+        x = z
+        if cond is not None:
+            x = jnp.concatenate([x, cond], axis=1)
+        b = x.shape[0]
+        x = nn.Dense(fm_size, kernel_init=ki, name="fc")(x)
+
+        if self.no_lstm:
+            from txt2vid_tpu.models.tgan import FrameSeedGenerator
+            seeds = FrameSeedGenerator(z_fast_dim=fm_size, init_method=self.init_method,
+                                       name="frame_seed_gen")(x, train=train)  # (B, 16, fm_size)
+            x = seeds.reshape(b, 16, fm_h, fm_w, -1)
+            num_frames = 16
+        else:
+            x = x.reshape(b, fm_h, fm_w, self.fm_channels)
+            x = ConvLSTM(hidden_channels=(self.fm_channels,), kernel_size=3,
+                         step=self.num_frames, init_method=self.init_method,
+                         name="clstm")(x)                       # (B, T, h, w, C)
+            num_frames = self.num_frames
+
+        # fold time into batch for the 2D block stack
+        x = x.reshape((-1,) + x.shape[2:])
+
+        blocks = [BaseFrameGen(init_method=self.init_method, name="base")]
+        renders = [RenderBlock(128, self.num_channels, init_method=self.init_method,
+                               name="render_base")]
+        prev = 128
+        for i, ch in enumerate(self.additional_blocks):
+            blocks.append(UpBlock(
+                prev, ch, init_method=self.init_method,
+                with_non_local=self.with_non_local and i == len(self.additional_blocks) - 2,
+                use_pallas=self.use_pallas, name=f"up{i}"))
+            renders.append(RenderBlock(ch, self.num_channels,
+                                       init_method=self.init_method, name=f"render{i}"))
+            prev = ch
+
+        rendered = []
+        for i, (block, render) in enumerate(zip(blocks, renders)):
+            if i != 0 and train:
+                v = x.reshape((-1, num_frames) + x.shape[1:])
+                v, _ = subsample_video(v, self.make_rng("sample"))
+                num_frames //= 2
+                x = v.reshape((-1,) + v.shape[2:])
+
+            x = block(x, train=train)
+
+            if i == len(blocks) - 1 or train or (output_blocks is not None and i in output_blocks):
+                r = render(x, train=train)
+                rendered.append(r.reshape((-1, num_frames) + r.shape[1:]))
+
+        return rendered
+
+
+class MultiScaleDiscrim(nn.Module):
+    """Positional list of scales -> list of (uncond, cond, features) triples
+    (reference tganv2/discrim.py & tganv2_cond/discrim.py — whose `computed_features`
+    forwarding bug at discrim.py:40-41 is fixed here)."""
+
+    discrim_down_blocks: Sequence[int] = (4, 4, 4, 4)
+    num_channels: int = 3
+    cond_dim: int = 0
+    single_discrim: bool = True
+    wide: bool = False
+    with_attn: bool = True
+    init_method: str = "xavier"
+    use_pallas: bool | None = None
+
+    # flags the per-scale gradient-penalty path (reference losses.py:189 keys off a
+    # `sub_discrims` attribute)
+    is_multiscale: bool = True
+
+    @nn.compact
+    def __call__(self, x, cond=None, xbar=None, computed_features=None, train: bool = True):
+        def make(db, name):
+            return Resnet3D(num_channels=self.num_channels, cond_dim=self.cond_dim,
+                            num_down_blocks=db, wide=self.wide, with_attn=self.with_attn,
+                            init_method=self.init_method, use_pallas=self.use_pallas,
+                            name=name)
+
+        if self.single_discrim:
+            shared = make(self.discrim_down_blocks[-1], "discrim")
+            subs = [shared] * len(self.discrim_down_blocks)
+        else:
+            subs = [make(db, f"discrim{i}") for i, db in enumerate(self.discrim_down_blocks)]
+
+        out = []
+        for i, scale in enumerate(x):
+            cond_i = cond[i] if cond is not None else None
+            cf_i = computed_features[i] if computed_features is not None else None
+            out.append(subs[i](x=scale, cond=cond_i, computed_features=cf_i, train=train))
+        return out
