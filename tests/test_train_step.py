@@ -1,0 +1,96 @@
+"""End-to-end jitted train-step tests at tiny sizes: the functional equivalent of the
+reference's trainer hot loop (gan/trainer.py:190-333) must run, update params, and
+produce finite losses for each model family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from txt2vid_tpu.gan import losses as L
+from txt2vid_tpu.gan.cond_gan import CondGan
+from txt2vid_tpu.gan.train_step import TrainConfig, build_train_step, init_state
+from txt2vid_tpu.models import tganv2, tcwyt, img
+from txt2vid_tpu.models.txt import Seq2Seq
+
+
+def make_opts():
+    return optax.adam(2e-4, b1=0.5, b2=0.999), optax.adam(2e-4, b1=0.5, b2=0.999)
+
+
+def params_differ(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return any(not np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(leaves_a, leaves_b))
+
+
+class TestUncondTGANv2:
+    def test_two_steps(self):
+        # sizes chosen to bound CPU-XLA compile time: 2 scales, no discrim attention,
+        # no GP (GP is covered by TestImgWGAN and tests/test_losses.py)
+        gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16, num_channels=1,
+                                   fm_channels=16, additional_blocks=(8,),
+                                   num_frames=4, use_pallas=False)
+        discrim = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1),
+                                           num_channels=1, with_attn=False,
+                                           use_pallas=False)
+        gan = CondGan(gen=gen, discrims=[discrim])
+        cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True, latent_size=16)
+        optG, optD = make_opts()
+        batch = {"video": jnp.zeros((4, 4, 16, 16, 1))}
+        state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+        step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+
+        s1, m1 = step(state, batch, jax.random.key(1))
+        s2, m2 = step(s1, batch, jax.random.key(2))
+        assert np.isfinite(float(m1["loss_d"])) and np.isfinite(float(m1["loss_g"]))
+        assert int(s2.step) == 2
+        assert params_differ(state.g_vars["params"], s2.g_vars["params"])
+        assert params_differ(state.d_vars[0]["params"], s2.d_vars[0]["params"])
+
+
+class TestCondTCWYT:
+    def test_end2end_with_encoder_and_mapping(self):
+        vocab_size = 20
+        enc = Seq2Seq(vocab_size=vocab_size, embed_size=8, hidden_size=16, num_layers=1)
+        gen = tcwyt.Gen(z_size=8, cond_dim=16, num_channels=1)
+        vd = tcwyt.VideoDiscrim(cond_dim=16, mid_ch=4, num_channels=1)
+        fd = tcwyt.FrameDiscrim(cond_dim=16)
+        md = tcwyt.MotionDiscrim(cond_dim=16)
+        fmap = tcwyt.FrameMap(num_channels=1)
+        gan = CondGan(gen=gen, discrims=[vd, fd, md],
+                      discrim_names=["video", "frame", "motion"],
+                      cond_encoder=enc, sample_mapping=fmap)
+        cfg = TrainConfig(frame_sizes=(48,), latent_size=8, end2end=True)
+        optG, optD = make_opts()
+        batch = {
+            "video": jnp.zeros((2, 16, 48, 48, 1)),
+            "captions": jnp.array([[1, 4, 5, 2], [1, 6, 7, 2]], dtype=jnp.int32),
+            "lengths": jnp.array([4, 4]),
+        }
+        state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+        step = jax.jit(build_train_step(gan, L.RaLSGANLoss(), optG, optD, cfg))
+        s1, m1 = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(m1["loss_d"])) and np.isfinite(float(m1["loss_g"]))
+        # encoder trained end2end (reference train/gan.py:82-85)
+        assert params_differ(state.txt_vars["params"], s1.txt_vars["params"])
+        # sample mapping M stays frozen (its params are in neither reference optimizer)
+        assert not params_differ(state.m_vars["params"], s1.m_vars["params"])
+
+
+class TestImgWGAN:
+    def test_wgan_gp_multi_dstep(self):
+        gen = img.Gen(dim=8)
+        discrim = img.Discrim(dim=8)
+        gan = CondGan(gen=gen, discrims=[discrim])
+        cfg = TrainConfig(frame_sizes=(64,), img_model=True, latent_size=128,
+                          discrim_steps=2, gp_lambda=10.0)
+        optG, optD = make_opts()
+        batch = {"video": jnp.zeros((4, 64, 64, 3))}
+        state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+        step = jax.jit(build_train_step(gan, L.WassersteinGanLoss(), optG, optD, cfg))
+        s1, m1 = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(m1["loss_d"]))
+        assert params_differ(state.g_vars["params"], s1.g_vars["params"])

@@ -1,0 +1,261 @@
+"""Jitted GAN train step (reference txt2vid/gan/trainer.py:190-333 hot loop, made
+functional).
+
+One compiled program performs: caption encoding, the multiscale real pyramid, fake
+generation, `discrim_steps` discriminator updates (fakes stop-gradiented — the
+functional equivalent of the reference's detach_all, trainer.py:128-129,232), the
+real-pred re-forward, and `gen_steps` generator updates re-generating fakes from the
+SAME z (trainer.py:251-256). Both optimizers live inside the step; when `end2end`,
+encoder params sit in BOTH optimizer param trees (reference train/gan.py:82-85) and
+their gradients flow through the conditional inputs in each phase.
+
+BatchNorm running stats: torch updates them on every train-mode forward; they do not
+affect training math (train mode normalizes by batch stats), and the reference only
+ever consumes them via gen.eval() at sampling time (trainer.py:47). We therefore
+update the GENERATOR's running stats once per step (from the G-phase forward) and
+leave discriminator stats untouched — loss/gradient-identical, far less plumbing.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from txt2vid_tpu.gan.cond_gan import CondGan
+from txt2vid_tpu.ops.subsample import multiscale_pyramid
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Static configuration for the compiled step (reference trainer.py flag surface,
+    add_params_to_parser trainer.py:15-42)."""
+
+    frame_sizes: Sequence[int] = (64,)
+    subsample_input: bool = False
+    discrim_steps: int = 1
+    gen_steps: int = 1
+    gp_lambda: float = -1.0
+    end2end: bool = False
+    mean_discrim_loss: bool = False     # reference --no_mean_discrim_loss default
+    mean_gen_loss: bool = False
+    img_model: bool = False
+    latent_size: int = 256
+
+
+class GanTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g_vars: Any
+    d_vars: Any                          # tuple of per-discriminator variable dicts
+    txt_vars: Any                        # dict or None
+    m_vars: Any                          # dict or None
+    opt_g_state: Any
+    opt_d_state: Any
+
+
+def _merge_vars(variables, params):
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
+def init_state(gan: CondGan, key, sample_batch, optG, optD, config: TrainConfig):
+    """Initialize all variables and optimizer states from a representative batch."""
+    kg, kd, kt, km, ks, kp = jax.random.split(key, 6)
+
+    captions = sample_batch.get("captions")
+    lengths = sample_batch.get("lengths")
+
+    txt_vars = None
+    cond = None
+    if gan.cond_encoder is not None and captions is not None:
+        txt_vars = gan.cond_encoder.init(kt, captions, lengths=lengths)
+        cond = gan.encode(txt_vars, captions, lengths)
+
+    x = sample_batch["video"]
+    b = x.shape[0]
+    z = jax.random.normal(kg, (b, config.latent_size))
+
+    g_kwargs = dict(train=True)
+    if cond is not None:
+        g_kwargs["cond"] = cond
+    g_vars = gan.gen.init({"params": kg, "sample": ks}, z, **g_kwargs)
+
+    if config.img_model:
+        real_scales, cond_scales = [x], (None if cond is None else [cond])
+    else:
+        real_scales, cond_scales = multiscale_pyramid(
+            x, cond, list(config.frame_sizes), kp, config.subsample_input)
+
+    m_vars = None
+    xbar = None
+    if gan.sample_mapping is not None:
+        m_vars = gan.sample_mapping.init(km, real_scales[0], train=True)
+        xbar = gan.map_features(m_vars, real_scales[0], train=True)
+
+    d_vars = []
+    for i, d in enumerate(gan.discrims):
+        dk = jax.random.fold_in(kd, i)
+        if getattr(d, "is_multiscale", False):
+            v = d.init(dk, real_scales, cond=cond_scales, train=True)
+        else:
+            kwargs = dict(x=real_scales[0], train=True)
+            if cond_scales is not None:
+                kwargs["cond"] = cond_scales[0]
+            if xbar is not None:
+                kwargs["xbar"] = xbar
+            v = d.init(dk, **kwargs)
+        d_vars.append(v)
+    d_vars = tuple(d_vars)
+
+    g_opt_params = {"g": g_vars["params"]}
+    d_opt_params = {"d": tuple(v["params"] for v in d_vars)}
+    if config.end2end and txt_vars is not None:
+        g_opt_params["txt"] = txt_vars["params"]
+        d_opt_params["txt"] = txt_vars["params"]
+
+    return GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_vars=g_vars, d_vars=d_vars, txt_vars=txt_vars, m_vars=m_vars,
+        opt_g_state=optG.init(g_opt_params),
+        opt_d_state=optD.init(d_opt_params),
+    )
+
+
+def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
+    """Returns train_step(state, batch, key) -> (state, metrics), jit-ready."""
+
+    def scales_for(x, cond, key):
+        if config.img_model or len(config.frame_sizes) == 1:
+            return [x], (None if cond is None else [cond])
+        return multiscale_pyramid(x, cond, list(config.frame_sizes), key,
+                                  config.subsample_input)
+
+    def train_step(state, batch, key):
+        x = batch["video"]
+        b = x.shape[0]
+        k_z, k_pyr, k_gen, k_d, k_g = jax.random.split(key, 5)
+
+        has_cond = gan.cond_encoder is not None and batch.get("captions") is not None
+
+        z = jax.random.normal(k_z, (b, config.latent_size))
+
+        # --- frozen-cond path (used whenever grads need not flow to the encoder)
+        cond_const = None
+        if has_cond:
+            cond_const = jax.lax.stop_gradient(
+                gan.encode(state.txt_vars, batch["captions"], batch["lengths"]))
+
+        real_scales_const, cond_scales_const = scales_for(x, cond_const, k_pyr)
+
+        # --- fake generation for the D phase (detached, reference trainer.py:232)
+        fake_scales = gan.generate(state.g_vars, z, cond=cond_const, key=k_gen,
+                                   train=True)
+        fake_scales = jax.lax.stop_gradient(fake_scales)
+
+        # ------------------------------------------------------------- D phase
+        d_opt_params = {"d": tuple(v["params"] for v in state.d_vars)}
+        if config.end2end and state.txt_vars is not None:
+            d_opt_params["txt"] = state.txt_vars["params"]
+
+        def d_loss_fn(opt_params, dkey):
+            d_vars_list = [
+                _merge_vars(v, p) for v, p in zip(state.d_vars, opt_params["d"])]
+            if config.end2end and has_cond:
+                cond = gan.encode(_merge_vars(state.txt_vars, opt_params["txt"]),
+                                  batch["captions"], batch["lengths"])
+                real_scales, cond_scales = scales_for(x, cond, k_pyr)
+            else:
+                real_scales, cond_scales = real_scales_const, cond_scales_const
+            ls, _, _ = gan.all_discrim_forward(
+                d_vars_list, real_scales=real_scales, fake_scales=fake_scales,
+                cond_scales=cond_scales, loss=losses,
+                gp_lambda=config.gp_lambda, key=dkey, m_vars=state.m_vars, train=True)
+            total = gan.weighted_sum(ls)
+            if config.mean_discrim_loss:
+                total = total / config.discrim_steps
+            return total
+
+        opt_d_state = state.opt_d_state
+        total_d_loss = 0.0
+        for j in range(config.discrim_steps):
+            dkey = jax.random.fold_in(k_d, j)
+            loss_d, grads = jax.value_and_grad(d_loss_fn)(d_opt_params, dkey)
+            updates, opt_d_state = optD.update(grads, opt_d_state, d_opt_params)
+            d_opt_params = optax.apply_updates(d_opt_params, updates)
+            total_d_loss = total_d_loss + loss_d
+
+        new_d_vars = tuple(
+            _merge_vars(v, p) for v, p in zip(state.d_vars, d_opt_params["d"]))
+        txt_params = d_opt_params.get(
+            "txt", None if state.txt_vars is None else state.txt_vars["params"])
+
+        # ------------------------------------------------------------- G phase
+        g_opt_params = {"g": state.g_vars["params"]}
+        if config.end2end and state.txt_vars is not None:
+            g_opt_params["txt"] = txt_params
+
+        # cached real predictions with updated D (reference trainer.py:247); when
+        # end2end they are recomputed inside the G loss so encoder grads flow
+        real_preds_const = None
+        if not (config.end2end and has_cond):
+            real_preds_const = jax.lax.stop_gradient(gan.all_discrim_forward(
+                new_d_vars, real_scales=real_scales_const,
+                cond_scales=cond_scales_const, loss=None, key=None,
+                m_vars=state.m_vars, train=True)[2])
+
+        def g_loss_fn(opt_params, gkey):
+            g_vars = _merge_vars(state.g_vars, opt_params["g"])
+            if config.end2end and has_cond:
+                cond = gan.encode(_merge_vars(state.txt_vars, opt_params["txt"]),
+                                  batch["captions"], batch["lengths"])
+                real_scales, cond_scales = scales_for(x, cond, k_pyr)
+                real_preds = gan.all_discrim_forward(
+                    new_d_vars, real_scales=real_scales, cond_scales=cond_scales,
+                    loss=None, key=None, m_vars=state.m_vars, train=True)[2]
+                gen_cond = cond_scales[0] if cond_scales is not None else None
+            else:
+                real_preds = real_preds_const
+                cond_scales = cond_scales_const
+                gen_cond = cond_scales[0] if cond_scales is not None else None
+
+            fakes, g_stats = gan.generate(g_vars, z, cond=gen_cond, key=gkey,
+                                          train=True, with_stats=True)
+            total = gan.gen_loss(new_d_vars, fakes, real_preds,
+                                 cond_scales=cond_scales, loss=losses,
+                                 m_vars=state.m_vars, train=True)
+            if config.mean_gen_loss:
+                total = total / config.gen_steps
+            return total, g_stats
+
+        opt_g_state = state.opt_g_state
+        total_g_loss = 0.0
+        g_stats = state.g_vars.get("batch_stats")
+        for j in range(config.gen_steps):
+            gkey = k_gen if j == 0 else jax.random.fold_in(k_g, j)
+            (loss_g, new_stats), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_opt_params, gkey)
+            updates, opt_g_state = optG.update(grads, opt_g_state, g_opt_params)
+            g_opt_params = optax.apply_updates(g_opt_params, updates)
+            total_g_loss = total_g_loss + loss_g
+            if new_stats:
+                g_stats = new_stats["batch_stats"]
+
+        new_g_vars = _merge_vars(state.g_vars, g_opt_params["g"])
+        if g_stats is not None:
+            new_g_vars["batch_stats"] = g_stats
+
+        new_txt_vars = state.txt_vars
+        if config.end2end and state.txt_vars is not None:
+            new_txt_vars = _merge_vars(state.txt_vars, g_opt_params["txt"])
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_vars=new_g_vars, d_vars=new_d_vars, txt_vars=new_txt_vars,
+            opt_g_state=opt_g_state, opt_d_state=opt_d_state)
+        metrics = {"loss_d": total_d_loss, "loss_g": total_g_loss}
+        return new_state, metrics
+
+    return train_step

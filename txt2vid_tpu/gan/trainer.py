@@ -1,0 +1,185 @@
+"""Host-side training loop (reference txt2vid/gan/trainer.py train()/test()).
+
+The device-side hot loop lives in gan/train_step.py as one compiled program; this
+module drives epochs/batches, reproduces the reference's telemetry (rolling-average
+sec/iter and sec/batch-load per log period, trainer.py:281-288), checkpoint cadence
+with loss-encoded filenames (trainer.py:269-279), and periodic sample grids
+(trainer.py:290-324, save_frames flattens (B,T,H,W,C) into an image grid with one row
+per video)."""
+
+import argparse
+
+import numpy as np
+import jax
+
+from txt2vid_tpu.utils import RollingAvg, Stopwatch, status, ensure_exists
+from txt2vid_tpu.utils.checkpoint import checkpoint_name, save_state
+
+
+def add_params_to_parser(parser: argparse.ArgumentParser):
+    """Engine flags (reference trainer.py:15-42 surface)."""
+    parser.add_argument('--data_is_imgs', action='store_true', default=False)
+    parser.add_argument('--img_model', action='store_true', default=False)
+    parser.add_argument('--log_period', type=int, default=20)
+    parser.add_argument('--loss_window_size', type=int, default=20)
+    parser.add_argument('--no_mean_discrim_loss', action='store_false', default=True)
+    parser.add_argument('--no_mean_gen_loss', action='store_false', default=True)
+    parser.add_argument('--sample_batch_size', type=int, default=None)
+    parser.add_argument('--discrim_steps', type=int, default=1)
+    parser.add_argument('--gen_steps', type=int, default=1)
+    parser.add_argument('--gp_lambda', type=float, default=-1)
+    parser.add_argument('--save_initial', action='store_true', default=False)
+    parser.add_argument('--save_initial_examples', action='store_true', default=False)
+    parser.add_argument('--save_model_period', type=int, default=100)
+    parser.add_argument('--save_example_period', type=int, default=100)
+    parser.add_argument('--use_writer', action='store_true', default=False)
+    parser.add_argument('--out', type=str, default='out')
+    parser.add_argument('--out_samples', type=str, default='out_samples')
+    parser.add_argument('--subsample_input', action='store_true', default=False)
+    return parser
+
+
+def to_grid(video_batch: np.ndarray) -> np.ndarray:
+    """(B, T, H, W, C) in [-1,1] -> uint8 grid image, one row per video."""
+    v = np.asarray(video_batch)
+    if v.ndim == 4:  # images -> single-frame videos
+        v = v[:, None]
+    b, t, h, w, c = v.shape
+    v = ((np.clip(v, -1, 1) + 1.0) * 127.5).astype(np.uint8)
+    pad = 2
+    grid = np.zeros((b * (h + pad) + pad, t * (w + pad) + pad, c), np.uint8)
+    for i in range(b):
+        for j in range(t):
+            y, x = pad + i * (h + pad), pad + j * (w + pad)
+            grid[y:y + h, x:x + w] = v[i, j]
+    return grid
+
+
+def save_frames(video_batch, path: str):
+    from PIL import Image
+    grid = to_grid(video_batch)
+    if grid.shape[-1] == 1:
+        grid = grid[..., 0]
+    Image.fromarray(grid).save(path)
+
+
+def save_sentences(captions, path: str, vocab=None):
+    with open(path, "w") as f:
+        for cap in np.asarray(captions):
+            f.write(vocab.to_words(cap) + "\n")
+
+
+def sample(gan, state, batch_size: int, key, cond=None):
+    """Eval-mode generation (reference trainer.py:44-90 test pathway): running-stat
+    BN, no subsampling, final scale only."""
+    z = jax.random.normal(key, (batch_size, gan.gen.latent_size))
+    kwargs = dict(train=False)
+    if cond is not None:
+        kwargs["cond"] = cond
+    out = gan.gen.apply(state.g_vars, z, **kwargs)
+    return out if isinstance(out, (list, tuple)) else [out]
+
+
+def test(gan=None, state=None, num_samples=1, dataset=None, params=None, vocab=None):
+    """Sampling mode (reference trainer.py:44-90)."""
+    ensure_exists(params.out_samples)
+    key = jax.random.key(getattr(params, "seed", 0) or 0)
+    for i in range(num_samples):
+        for j, batch in enumerate(dataset):
+            x = np.asarray(batch["video"])
+            cond = None
+            if gan.cond_encoder is not None and "captions" in batch:
+                cond = gan.encode(state.txt_vars, batch["captions"], batch["lengths"])
+            key, k = jax.random.split(key)
+            fakes = sample(gan, state, x.shape[0], k, cond=cond)
+            save_frames(x, f"{params.out_samples}/real_{i}.png")
+            if cond is not None and vocab is not None:
+                save_sentences(batch["captions"],
+                               f"{params.out_samples}/sentences_{i}_{j}.txt", vocab)
+            for f in fakes:
+                h, w = f.shape[-3], f.shape[-2]
+                path = f"{params.out_samples}/{h}x{w}_{i}_{j}.jpg"
+                status(f"saving to {path}")
+                save_frames(np.asarray(f), path)
+            break
+
+
+def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
+          params=None, vocab=None, seed: int = 0, on_iteration=None):
+    """Epoch loop (reference trainer.py:111-333). `train_step` is the compiled step
+    from gan/train_step.py; `dataset` yields device-ready batch dicts."""
+    ensure_exists(params.out)
+    ensure_exists(params.out_samples)
+
+    gen_loss = RollingAvg(params.loss_window_size)
+    discrim_loss = RollingAvg(params.loss_window_size)
+    avg_data_load = RollingAvg(params.log_period)
+    avg_iter = RollingAvg(params.log_period)
+    data_watch, iter_watch = Stopwatch(), Stopwatch()
+
+    key = jax.random.key(seed)
+    iteration = int(state.step)
+
+    for epoch in range(num_epoch):
+        if params.log_period > 0:
+            status(f"Epoch {epoch + 1} started")
+        data_watch.start()
+        iter_watch.start()
+        for i, batch in enumerate(dataset):
+            avg_data_load.update(data_watch.stop())
+            iteration += 1
+
+            key, k = jax.random.split(key)
+            state, metrics = train_step(state, batch, k)
+
+            loss_d = float(metrics["loss_d"])
+            loss_g = float(metrics["loss_g"])
+            discrim_loss.update(loss_d)
+            gen_loss.update(loss_g)
+
+            first = iteration == 1
+            if (first and params.save_initial) or (
+                    params.save_model_period > 0
+                    and iteration % params.save_model_period == 0):
+                name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
+                save_state(state, f"{params.out}/{name}")
+
+            if params.log_period > 0 and iteration % params.log_period == 0:
+                status("[%d/%d; %d/%d] - Iter %d, Loss_D: %.4f Loss_G: %.4f - "
+                       "%.4f sec/iter; %.4f sec/batch load" % (
+                           epoch, num_epoch, i, len(dataset), iteration,
+                           discrim_loss.get(), gen_loss.get(),
+                           avg_iter.get(), avg_data_load.get()))
+
+            if params.save_example_period > 0 and (
+                    (first and params.save_initial_examples)
+                    or iteration % params.save_example_period == 0):
+                status(f"saving samples to {params.out_samples} (iteration {iteration})")
+                save_frames(np.asarray(batch["video"]),
+                            f"{params.out_samples}/real_samples.png")
+                cond = None
+                if gan.cond_encoder is not None and "captions" in batch:
+                    cond = gan.encode(state.txt_vars, batch["captions"],
+                                      batch["lengths"])
+                    if vocab is not None:
+                        save_sentences(
+                            batch["captions"],
+                            f"{params.out_samples}/sentences_epoch{epoch:03d}_iter_{iteration:06d}.txt",
+                            vocab)
+                key, k = jax.random.split(key)
+                nb = params.sample_batch_size or batch["video"].shape[0]
+                if cond is not None:
+                    cond = cond[:nb]
+                for f in sample(gan, state, nb, k, cond=cond):
+                    h, w = f.shape[-3], f.shape[-2]
+                    save_frames(np.asarray(f),
+                                f"{params.out_samples}/fake_samples_epoch_{epoch:03d}_iter_{iteration:06d}_{h}x{w}.png")
+
+            if on_iteration is not None:
+                on_iteration(iteration, state)
+
+            data_watch.start()
+            avg_iter.update(iter_watch.stop())
+            iter_watch.start()
+
+    return state

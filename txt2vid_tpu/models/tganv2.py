@@ -139,7 +139,8 @@ class MultiScaleDiscrim(nn.Module):
     is_multiscale: bool = True
 
     @nn.compact
-    def __call__(self, x, cond=None, xbar=None, computed_features=None, train: bool = True):
+    def __call__(self, x, cond=None, xbar=None, computed_features=None, train: bool = True,
+                 scale_indices=None):
         def make(db, name):
             return Resnet3D(num_channels=self.num_channels, cond_dim=self.cond_dim,
                             num_down_blocks=db, wide=self.wide, with_attn=self.with_attn,
@@ -152,9 +153,14 @@ class MultiScaleDiscrim(nn.Module):
         else:
             subs = [make(db, f"discrim{i}") for i, db in enumerate(self.discrim_down_blocks)]
 
+        # scale_indices maps positional inputs to sub-discriminators — used by the
+        # per-scale gradient-penalty path to evaluate a single scale in isolation
+        if scale_indices is None:
+            scale_indices = range(len(x))
+
         out = []
-        for i, scale in enumerate(x):
-            cond_i = cond[i] if cond is not None else None
-            cf_i = computed_features[i] if computed_features is not None else None
-            out.append(subs[i](x=scale, cond=cond_i, computed_features=cf_i, train=train))
+        for pos, (si, scale) in enumerate(zip(scale_indices, x)):
+            cond_i = cond[pos] if cond is not None else None
+            cf_i = computed_features[pos] if computed_features is not None else None
+            out.append(subs[si](x=scale, cond=cond_i, computed_features=cf_i, train=train))
         return out

@@ -126,18 +126,29 @@ class RecurrentModel(nn.Module):
 class Seq2Seq(nn.Module):
     separate_decoder: bool = False
     vocab_size: int = 0
+    embed_size: int = 256
+    hidden_size: int = 256
+    num_layers: int = 4
     init_method: str = "xavier"
 
     @property
     def encoding_size(self) -> int:
-        return 256
+        return self.hidden_size
 
     def setup(self):
         self.encoder = RecurrentModel(vocab_size=self.vocab_size,
+                                      embed_size=self.embed_size,
+                                      hidden_size=self.hidden_size,
+                                      encoding_size=self.hidden_size,
+                                      num_layers=self.num_layers,
                                       is_decoder=not self.separate_decoder,
                                       init_method=self.init_method)
         if self.separate_decoder:
             self.sep_decoder = RecurrentModel(vocab_size=self.vocab_size,
+                                              embed_size=self.embed_size,
+                                              hidden_size=self.hidden_size,
+                                              encoding_size=self.hidden_size,
+                                              num_layers=self.num_layers,
                                               is_decoder=True, bi=False,
                                               init_method=self.init_method)
 

@@ -31,20 +31,21 @@ def avg_pool_3d_shape_aware(x: jnp.ndarray) -> jnp.ndarray:
     return summed / float(np.prod(window))
 
 
-def _max_pool(x, window, strides):
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return lax.reduce_window(x, neg, lax.max, window, strides, [(0, 0)] * x.ndim)
-
-
 def max_pool_2d(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
-    """(B, H, W, C) max pool k×k stride k."""
-    return _max_pool(x, (1, k, k, 1), (1, k, k, 1))
+    """(B, H, W, C) max pool k×k stride k. Non-overlapping, so implemented as a
+    reshape + max — unlike reduce_window-max this supports the double-backward the
+    gradient penalty needs, and XLA fuses it better."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // k, k, w // k, k, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def max_pool_3d(x: jnp.ndarray, kt: int = 1, k: int = 2) -> jnp.ndarray:
     """(B, T, H, W, C) max pool (kt, k, k) stride (kt, k, k) — the reference
     Attention3d uses [1, 2, 2] (models/layers.py:57-58)."""
-    return _max_pool(x, (1, kt, k, k, 1), (1, kt, k, k, 1))
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t // kt, kt, h // k, k, w // k, k, c)
+    return jnp.max(x, axis=(2, 4, 6))
 
 
 def upsample_nearest_2d(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:

@@ -1,0 +1,5 @@
+from txt2vid_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated, shard_batch, shard_train_state)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "shard_train_state"]

@@ -1,0 +1,191 @@
+"""GAN training CLI (reference txt2vid/train/gan.py — same flag surface, same
+reflection-driven component construction, re-targeted at the jitted train step).
+
+Example (conditional TGANv2, cf. scripts/run_tganv2_cond.sh):
+  python -m txt2vid_tpu.train.gan --G txt2vid_tpu.models.tganv2_cond.MultiScaleGen \\
+      --D txt2vid_tpu.models.tganv2_cond.MultiScaleDiscrim \\
+      --data config/synth.json --anno sent.pickle --vocab vocab.pickle \\
+      --sent txt2vid_tpu.models.txt.Seq2Seq \\
+      --frame_sizes 8 16 32 64 --subsample_input \\
+      --D_loss txt2vid_tpu.gan.losses.RSGANLoss
+"""
+
+import argparse
+
+import jax
+import optax
+
+from txt2vid_tpu.config import create_object
+from txt2vid_tpu.data import get_loader
+from txt2vid_tpu.gan.cond_gan import CondGan
+from txt2vid_tpu.gan.losses import MixedGanLoss
+from txt2vid_tpu.gan.train_step import TrainConfig, build_train_step, init_state
+from txt2vid_tpu.gan import trainer
+from txt2vid_tpu.parallel.mesh import make_mesh, jit_train_step_sharded, \
+    shard_train_state, shard_batch
+from txt2vid_tpu.train.setup import setup
+from txt2vid_tpu.utils import status, warn, load_pickle, count_params
+from txt2vid_tpu.utils.checkpoint import restore_state
+
+
+def main(args):
+    seed, devices = setup(args)
+
+    vocab = None
+    if args.vocab:
+        status(f"Loading vocab from {args.vocab}")
+        vocab = load_pickle(args.vocab)
+
+    txt_encoder = None
+    cond_dim = 0
+    if not args.dont_use_sent and vocab is not None:
+        sent_spec = args.sent or "txt2vid_tpu.models.txt.Seq2Seq"
+        txt_encoder = create_object(sent_spec, vocab_size=len(vocab))
+        cond_dim = txt_encoder.encoding_size
+        status(f"Sentence encode size = {cond_dim}")
+    else:
+        status("Not using sentence encoder")
+
+    gen = create_object(args.G, cond_dim=cond_dim)
+    discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
+    sample_mapping = create_object(args.M) if args.M else None
+
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
+                  sample_mapping=sample_mapping, discrim_names=args.D_names,
+                  discrim_lambdas=args.D_lambdas)
+
+    if args.sgd:
+        status("Using SGD")
+        optD = optax.sgd(args.D_lr, momentum=args.D_beta1)
+        optG = optax.sgd(args.G_lr, momentum=args.G_beta1)
+    else:
+        status("Using Adam")
+        optD = optax.adam(args.D_lr, b1=args.D_beta1, b2=args.D_beta2)
+        optG = optax.adam(args.G_lr, b1=args.G_beta1, b2=args.G_beta2)
+
+    status(f"Loading data from {args.data}")
+    dset = create_object(args.data, vocab=vocab, anno=args.anno,
+                         frame_size=args.frame_sizes[-1],
+                         num_channels=args.num_channels)
+    loader = get_loader(dset=dset, batch_size=args.batch_size, val=args.test,
+                        num_workers=args.workers,
+                        has_captions=args.anno is not None, seed=seed)
+
+    config = TrainConfig(
+        frame_sizes=tuple(args.frame_sizes),
+        subsample_input=args.subsample_input,
+        discrim_steps=args.discrim_steps,
+        gen_steps=args.gen_steps,
+        gp_lambda=args.gp_lambda,
+        end2end=args.end2end,
+        mean_discrim_loss=not args.no_mean_discrim_loss,
+        mean_gen_loss=not args.no_mean_gen_loss,
+        img_model=args.img_model,
+        latent_size=gan.gen.latent_size,
+    )
+
+    # initialize from a representative batch
+    sample_batch = next(iter(loader))
+    if args.img_model and not args.data_is_imgs:
+        sample_batch = dict(sample_batch)
+        sample_batch["video"] = sample_batch["video"][:, 0]
+    state = init_state(gan, jax.random.key(seed), sample_batch, optG, optD, config)
+
+    if args.weights:
+        status(f"Loading weights from {args.weights}")
+        state = restore_state(state, args.weights)
+
+    if args.sent_weights:
+        status(f"Loading pre-trained sentence model from {args.sent_weights}")
+        txt_tmpl = {"txt": state.txt_vars, "opt": None}
+        try:
+            loaded = restore_state(txt_tmpl, args.sent_weights)
+            state = state.replace(txt_vars=loaded["txt"])
+        except Exception as e:  # tolerate bare txt_vars checkpoints
+            warn(f"falling back to bare txt vars restore: {e}")
+            state = state.replace(txt_vars=restore_state(state.txt_vars,
+                                                         args.sent_weights))
+
+    n_params = count_params(state.g_vars["params"]) + sum(
+        count_params(v["params"]) for v in state.d_vars)
+    if state.txt_vars is not None:
+        n_params += count_params(state.txt_vars["params"])
+    status("GAN has %d parameters (~%.2f * 10^8)" % (n_params, n_params / 1e8))
+    status(f"Dataset len= {len(loader) * args.batch_size} ({len(loader)} batches)")
+
+    if args.G_loss is None:
+        args.G_loss = args.D_loss
+    losses = MixedGanLoss(g_loss=create_object(args.G_loss),
+                          d_loss=create_object(args.D_loss))
+
+    mesh = make_mesh()
+    step_fn = build_train_step(gan, losses, optG, optD, config)
+    jitted = jit_train_step_sharded(step_fn, mesh)
+    state = shard_train_state(state, mesh)
+
+    def device_loader():
+        for batch in loader:
+            if args.img_model and not args.data_is_imgs:
+                batch = dict(batch)
+                batch["video"] = batch["video"][:, 0]
+            yield shard_batch(jax.device_get(batch), mesh)
+
+    class LoaderAdapter:
+        def __iter__(self):
+            return device_loader()
+
+        def __len__(self):
+            return len(loader)
+
+    if args.test:
+        trainer.test(gan=gan, state=state, num_samples=args.num_samples,
+                     dataset=LoaderAdapter(), params=args, vocab=vocab)
+    else:
+        trainer.train(gan=gan, state=state, train_step=jitted,
+                      num_epoch=args.epochs, dataset=LoaderAdapter(), params=args,
+                      vocab=vocab, seed=seed)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    trainer.add_params_to_parser(parser)
+    parser.add_argument('--test', action='store_true')
+    parser.add_argument('--num_samples', type=int, default=1)
+    parser.add_argument('--seed', type=int, default=None)
+    parser.add_argument('--workers', type=int, default=2)
+    parser.add_argument('--frame_sizes', type=int, nargs='+', default=[64])
+    parser.add_argument('--num_channels', type=int, default=1)
+    parser.add_argument('--random_frames', type=int, default=0)
+    parser.add_argument('--epochs', type=int, default=5)
+    parser.add_argument('--batch_size', type=int, default=64)
+    parser.add_argument('--init_method', type=str, default='xavier')
+    parser.add_argument('--G_loss', type=str, default=None)
+    parser.add_argument('--G_lr', type=float, default=0.0001)
+    parser.add_argument('--G_beta1', type=float, default=0.5)
+    parser.add_argument('--G_beta2', type=float, default=0.9)
+    parser.add_argument('--D_loss', type=str,
+                        default='txt2vid_tpu.gan.losses.VanillaGanLoss')
+    parser.add_argument('--D_lr', type=float, default=0.0001)
+    parser.add_argument('--D_beta1', type=float, default=0.5)
+    parser.add_argument('--D_beta2', type=float, default=0.9)
+    parser.add_argument('--weights', type=str, default=None)
+    parser.add_argument('--sent_weights', type=str, default=None)
+    parser.add_argument('--data', type=str, required=True)
+    parser.add_argument('--anno', type=str, default=None)
+    parser.add_argument('--vocab', type=str, default=None)
+    parser.add_argument('--M', type=str, default=None)
+    parser.add_argument('--G', type=str, required=True)
+    parser.add_argument('--D', type=str, nargs='+', required=True)
+    parser.add_argument('--D_names', type=str, nargs='+', default=None)
+    parser.add_argument('--D_lambdas', type=float, nargs='+', default=None)
+    parser.add_argument('--sent', type=str, default=None)
+    parser.add_argument('--dont_use_sent', action='store_true', default=False)
+    parser.add_argument('--end2end', action='store_true', default=False)
+    parser.add_argument('--sgd', action='store_true', default=False)
+    parser.add_argument('--debug', action='store_true', default=False)
+    parser.add_argument('--debug_nans', action='store_true', default=False)
+    return parser
+
+
+if __name__ == '__main__':
+    main(build_parser().parse_args())
