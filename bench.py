@@ -1,0 +1,100 @@
+"""Headline benchmark: G+D train steps/sec for conditional TGANv2, 16-frame 64px
+(BASELINE.md north-star metric), measured on the available accelerator.
+
+Run shape mirrors the reference's conditional run (thesis.tex:552-553: batch 40 @
+64x64, frame_sizes 8/16/32/64 with the subsample pyramid, RSGAN loss, Adam
+lr=2e-4 b1=0.5) with the Bi-LSTM caption encoder in the loop.
+
+vs_baseline: the reference publishes NO step rates (BASELINE.md). We use an estimated
+reference rate of 0.5 steps/sec for this config on its GTX 1060 (a 6 GB part running
+batch-40 multi-scale 3D-conv GAN training; the 2-day SLURM walltime for 10k-iteration
+runs, queue.sh:8 + thesis.tex:553, implies a rate of this order). The BASELINE.md
+target of >=5x the reference GPU rate therefore corresponds to vs_baseline >= 5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+
+# persistent compile cache: the first compile of the full train step can take
+# minutes on a cold backend; cached recompiles are seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.5
+
+BATCH = 40
+NUM_FRAMES = 16
+FRAME_SIZES = (8, 16, 32, 64)
+WARMUP = 3
+MEASURE = 20
+
+
+def main():
+    from txt2vid_tpu.gan import losses as L
+    from txt2vid_tpu.gan.cond_gan import CondGan
+    from txt2vid_tpu.gan.train_step import TrainConfig, build_train_step, init_state
+    from txt2vid_tpu.models import tganv2_cond
+    from txt2vid_tpu.models.txt import Seq2Seq
+    from txt2vid_tpu.parallel.mesh import (
+        make_mesh, jit_train_step_sharded, shard_batch, shard_train_state)
+
+    vocab_size = 64
+    enc = Seq2Seq(vocab_size=vocab_size)
+    gen = tganv2_cond.MultiScaleGen(num_frames=NUM_FRAMES)
+    discrim = tganv2_cond.MultiScaleDiscrim()
+    gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
+    cfg = TrainConfig(frame_sizes=FRAME_SIZES, subsample_input=True, latent_size=256)
+    optG = optax.adam(2e-4, b1=0.5, b2=0.999)
+    optD = optax.adam(2e-4, b1=0.5, b2=0.999)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.standard_normal(
+            (BATCH, NUM_FRAMES, FRAME_SIZES[-1], FRAME_SIZES[-1], 3),
+            dtype=np.float32).clip(-1, 1)),
+        "captions": jnp.asarray(rng.integers(4, vocab_size, (BATCH, 12)), jnp.int32),
+        "lengths": jnp.full((BATCH,), 12, jnp.int32),
+    }
+
+    state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+    mesh = make_mesh()
+    step = jit_train_step_sharded(
+        build_train_step(gan, L.RSGANLoss(), optG, optD, cfg), mesh)
+    state = shard_train_state(state, mesh)
+    sbatch = shard_batch(jax.device_get(batch), mesh)
+
+    key = jax.random.key(1)
+    for i in range(WARMUP):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, sbatch, k)
+    jax.block_until_ready(state.step)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, sbatch, k)
+    jax.block_until_ready(state.step)
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    steps_per_sec_per_chip = MEASURE / dt / n_chips
+    print(json.dumps({
+        "metric": "train_steps_per_sec_per_chip_cond_tganv2_16f_64px",
+        "value": round(steps_per_sec_per_chip, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(steps_per_sec_per_chip / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,14 @@ def _merge_vars(variables, params):
 
 
 def init_state(gan: CondGan, key, sample_batch, optG, optD, config: TrainConfig):
-    """Initialize all variables and optimizer states from a representative batch."""
+    """Initialize all variables and optimizer states from a representative batch.
+    The whole initialization runs under ONE jit — unjitted flax init dispatches each
+    primitive eagerly, which is pathologically slow over remote-device transports."""
+    return jax.jit(lambda k, b: _init_state_impl(gan, k, b, optG, optD, config))(
+        key, sample_batch)
+
+
+def _init_state_impl(gan: CondGan, key, sample_batch, optG, optD, config: TrainConfig):
     kg, kd, kt, km, ks, kp = jax.random.split(key, 6)
 
     captions = sample_batch.get("captions")

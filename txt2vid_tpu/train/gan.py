@@ -11,8 +11,15 @@ Example (conditional TGANv2, cf. scripts/run_tganv2_cond.sh):
 """
 
 import argparse
+import os
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TXT2VID_JAX_CACHE",
+                                 os.path.join(os.getcwd(), ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import optax
 
 from txt2vid_tpu.config import create_object
