@@ -1,0 +1,74 @@
+"""Tests for the packed frame-cache: format round-trip, native C++ reader vs numpy
+fallback parity, and batch assembly."""
+
+import numpy as np
+import pytest
+
+from txt2vid_tpu.data import build_vocab
+from txt2vid_tpu.data.packed import (
+    PackedReader, PackedVideoDataset, pack_directory, write_packed_cache, _load_native)
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    root = tmp_path_factory.mktemp("packed")
+    rng = np.random.default_rng(0)
+    vids = {str(i): rng.integers(0, 256, (10 + i, 8, 8, 1), dtype=np.uint8)
+            for i in range(5)}
+    out = root / "cache.t2vc"
+    write_packed_cache(sorted(vids.items()), out,
+                       str(out.with_suffix(".ids.pickle")))
+    return out, vids
+
+
+class TestPackedReader:
+    def test_numpy_fallback_roundtrip(self, packed):
+        out, vids = packed
+        r = PackedReader(out)
+        r._lib = None
+        r._np_open()
+        assert r.num_videos == 5
+        batch = r.read_batch(np.array([0, 2]), np.array([[0, 1, 2], [3, 4, 5]]))
+        np.testing.assert_array_equal(batch[0], vids["0"][[0, 1, 2]])
+        np.testing.assert_array_equal(batch[1], vids["2"][[3, 4, 5]])
+
+    def test_native_reader_matches_numpy(self, packed):
+        out, vids = packed
+        if _load_native() is None:
+            pytest.skip("native lib unavailable")
+        r = PackedReader(out, num_threads=4)
+        assert r._lib is not None, "native reader should have loaded"
+        assert r.num_videos == 5
+        assert r.video_num_frames(3) == 13
+        ids = np.array([4, 1, 0])
+        fidx = np.array([[0, 5, 9], [1, 2, 3], [9, 0, 4]])
+        native = r.read_batch(ids, fidx)
+        for i, v in enumerate(ids):
+            np.testing.assert_array_equal(native[i], vids[str(v)][fidx[i]])
+        r.close()
+
+    def test_pack_directory(self, tmp_path):
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            np.save(tmp_path / f"{i}.npy", rng.integers(0, 256, (6, 4, 4, 1),
+                                                        dtype=np.uint8))
+        out = tmp_path / "packed.t2vc"
+        id_map = pack_directory(tmp_path, out)
+        assert len(id_map) == 3
+        r = PackedReader(out)
+        assert r.num_videos == 3
+
+
+class TestPackedDataset:
+    def test_batch_with_captions(self, packed):
+        out, vids = packed
+        caps = {str(i): [f"digit {i} is left and right."] for i in range(5)}
+        vocab = build_vocab([c for v in caps.values() for c in v])
+        dset = PackedVideoDataset(out, vocab=vocab, captions=caps, num_frames=4,
+                                  frame_size=8, num_channels=1)
+        assert len(dset) == 5
+        batch = dset.get_batch([0, 3], max_caption_len=12)
+        assert batch["video"].shape == (2, 4, 8, 8, 1)
+        assert batch["video"].min() >= -1.0 and batch["video"].max() <= 1.0
+        assert batch["captions"].shape == (2, 12)
+        assert batch["lengths"][0] > 0

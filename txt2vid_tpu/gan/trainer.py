@@ -69,14 +69,37 @@ def save_sentences(captions, path: str, vocab=None):
             f.write(vocab.to_words(cap) + "\n")
 
 
+_jit_cache = {}
+
+
+def _jitted_sample(gan, has_cond):
+    key = (id(gan), has_cond)
+    if key not in _jit_cache:
+        if has_cond:
+            fn = lambda g_vars, z, cond: gan.gen.apply(g_vars, z, cond=cond,
+                                                       train=False)
+        else:
+            fn = lambda g_vars, z: gan.gen.apply(g_vars, z, train=False)
+        _jit_cache[key] = jax.jit(fn)
+    return _jit_cache[key]
+
+
+def _jitted_encode(gan):
+    key = (id(gan), "encode")
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(
+            lambda txt_vars, caps, lens: gan.encode(txt_vars, caps, lens))
+    return _jit_cache[key]
+
+
 def sample(gan, state, batch_size: int, key, cond=None):
     """Eval-mode generation (reference trainer.py:44-90 test pathway): running-stat
     BN, no subsampling, final scale only."""
     z = jax.random.normal(key, (batch_size, gan.gen.latent_size))
-    kwargs = dict(train=False)
     if cond is not None:
-        kwargs["cond"] = cond
-    out = gan.gen.apply(state.g_vars, z, **kwargs)
+        out = _jitted_sample(gan, True)(state.g_vars, z, cond)
+    else:
+        out = _jitted_sample(gan, False)(state.g_vars, z)
     return out if isinstance(out, (list, tuple)) else [out]
 
 
@@ -89,7 +112,8 @@ def test(gan=None, state=None, num_samples=1, dataset=None, params=None, vocab=N
             x = np.asarray(batch["video"])
             cond = None
             if gan.cond_encoder is not None and "captions" in batch:
-                cond = gan.encode(state.txt_vars, batch["captions"], batch["lengths"])
+                cond = _jitted_encode(gan)(state.txt_vars, batch["captions"],
+                                           batch["lengths"])
             key, k = jax.random.split(key)
             fakes = sample(gan, state, x.shape[0], k, cond=cond)
             save_frames(x, f"{params.out_samples}/real_{i}.png")
@@ -159,8 +183,8 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                             f"{params.out_samples}/real_samples.png")
                 cond = None
                 if gan.cond_encoder is not None and "captions" in batch:
-                    cond = gan.encode(state.txt_vars, batch["captions"],
-                                      batch["lengths"])
+                    cond = _jitted_encode(gan)(state.txt_vars, batch["captions"],
+                                               batch["lengths"])
                     if vocab is not None:
                         save_sentences(
                             batch["captions"],

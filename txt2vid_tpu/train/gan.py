@@ -47,15 +47,18 @@ def main(args):
     cond_dim = 0
     if not args.dont_use_sent and vocab is not None:
         sent_spec = args.sent or "txt2vid_tpu.models.txt.Seq2Seq"
-        txt_encoder = create_object(sent_spec, vocab_size=len(vocab))
+        txt_encoder = create_object(sent_spec, vocab_size=len(vocab),
+                                    init_method=args.init_method)
         cond_dim = txt_encoder.encoding_size
         status(f"Sentence encode size = {cond_dim}")
     else:
         status("Not using sentence encoder")
 
-    gen = create_object(args.G, cond_dim=cond_dim)
-    discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
-    sample_mapping = create_object(args.M) if args.M else None
+    gen = create_object(args.G, cond_dim=cond_dim, init_method=args.init_method)
+    discrims = [create_object(d, cond_dim=cond_dim, init_method=args.init_method)
+                for d in args.D]
+    sample_mapping = create_object(args.M, init_method=args.init_method) \
+        if args.M else None
 
     gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
                   sample_mapping=sample_mapping, discrim_names=args.D_names,
