@@ -48,10 +48,12 @@ def main():
     from txt2vid_tpu.parallel.mesh import (
         make_mesh, jit_train_step_sharded, shard_batch, shard_train_state)
 
+    import os
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") == "1" else None
     vocab_size = 64
     enc = Seq2Seq(vocab_size=vocab_size)
-    gen = tganv2_cond.MultiScaleGen(num_frames=NUM_FRAMES)
-    discrim = tganv2_cond.MultiScaleDiscrim()
+    gen = tganv2_cond.MultiScaleGen(num_frames=NUM_FRAMES, dtype=dtype)
+    discrim = tganv2_cond.MultiScaleDiscrim(dtype=dtype)
     gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
     cfg = TrainConfig(frame_sizes=FRAME_SIZES, subsample_input=True, latent_size=256)
     optG = optax.adam(2e-4, b1=0.5, b2=0.999)

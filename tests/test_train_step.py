@@ -94,3 +94,27 @@ class TestImgWGAN:
         s1, m1 = step(state, batch, jax.random.key(1))
         assert np.isfinite(float(m1["loss_d"]))
         assert params_differ(state.g_vars["params"], s1.g_vars["params"])
+
+
+class TestBf16:
+    def test_bf16_train_step(self):
+        import jax.numpy as jnp
+        gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16, num_channels=1,
+                                   fm_channels=16, additional_blocks=(8,),
+                                   num_frames=4, use_pallas=False,
+                                   dtype=jnp.bfloat16)
+        discrim = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1), num_channels=1,
+                                           with_attn=False, use_pallas=False,
+                                           dtype=jnp.bfloat16)
+        gan = CondGan(gen=gen, discrims=[discrim])
+        cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True, latent_size=16)
+        optG, optD = make_opts()
+        batch = {"video": jnp.zeros((4, 4, 16, 16, 1))}
+        state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+        # params stay f32 even with bf16 compute
+        leaf = jax.tree_util.tree_leaves(state.g_vars["params"])[0]
+        assert leaf.dtype == jnp.float32
+        step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+        s1, m1 = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(m1["loss_d"])) and np.isfinite(float(m1["loss_g"]))
+        assert params_differ(state.g_vars["params"], s1.g_vars["params"])

@@ -16,8 +16,12 @@ import jax.numpy as jnp
 import optax
 
 
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
 def _bce_logits(logits, labels):
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(_f32(logits), labels))
 
 
 class MixedGanLoss:
@@ -56,20 +60,20 @@ class HingeGanLoss:
         self.margin = margin
 
     def discrim_loss(self, fake=None, real=None):
-        return jnp.mean(jnp.maximum(0.0, self.margin - real)) + jnp.mean(fake)
+        return jnp.mean(jnp.maximum(0.0, self.margin - _f32(real))) + jnp.mean(_f32(fake))
 
     def gen_loss(self, fake=None, real=None):
-        return jnp.mean(jnp.maximum(0.0, self.margin - fake))
+        return jnp.mean(jnp.maximum(0.0, self.margin - _f32(fake)))
 
 
 class WassersteinGanLoss:
     """WGAN critic losses (reference losses.py:55-68); pair with gradient_penalty."""
 
     def discrim_loss(self, fake=None, real=None):
-        return -(jnp.mean(real) - jnp.mean(fake))
+        return -(jnp.mean(_f32(real)) - jnp.mean(_f32(fake)))
 
     def gen_loss(self, fake=None, real=None):
-        return -jnp.mean(fake)
+        return -jnp.mean(_f32(fake))
 
 
 class RSGANLoss:
@@ -109,11 +113,13 @@ class RaLSGANLoss:
     """Relativistic average least-squares GAN (reference losses.py:113-133)."""
 
     def discrim_loss(self, fake=None, real=None):
+        fake, real = _f32(fake), _f32(real)
         loss = jnp.mean((real - jnp.mean(fake) - 1.0) ** 2)
         loss += jnp.mean((fake - jnp.mean(real) + 1.0) ** 2)
         return loss / 2
 
     def gen_loss(self, fake=None, real=None):
+        fake, real = _f32(fake), _f32(real)
         loss = jnp.mean((real - jnp.mean(fake) + 1.0) ** 2)
         loss += jnp.mean((fake - jnp.mean(real) - 1.0) ** 2)
         return loss / 2
@@ -162,7 +168,7 @@ def gradient_penalty(d_fn, key, real_x, fake_x, real_xbar=None, fake_xbar=None,
             total = total + jnp.sum(cond_out)
         return total
 
-    grads = jax.grad(scalar_out)(ix)
+    grads = jax.grad(scalar_out)(ix).astype(jnp.float32)
     norms = jnp.sqrt(jnp.sum(grads.reshape(b, -1) ** 2, axis=1) + 1e-12)
     per_sample = norms ** 2 if zero_center else (norms - 1.0) ** 2
     return jnp.sum(per_sample) if combine == "sum" else jnp.mean(per_sample)

@@ -15,7 +15,7 @@ t > 0, the input conv runs ONCE — steps t > 0 see only its bias, halving the L
 conv FLOPs vs a literal translation.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ class _StackStep(nn.Module):
     hidden_channels: Sequence[int]
     kernel_size: int = 3
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, gx0_t):
@@ -49,9 +50,10 @@ class _StackStep(nn.Module):
             if li == 0:
                 gates = gx0_t
             else:
-                gates = nn.Conv(4 * hc, k, kernel_init=ki, name=f"wx{li}")(x)
+                gates = nn.Conv(4 * hc, k, kernel_init=ki, dtype=self.dtype,
+                                name=f"wx{li}")(x)
             gates = gates + nn.Conv(4 * hc, k, use_bias=False, kernel_init=ki,
-                                    name=f"wh{li}")(h)
+                                    dtype=self.dtype, name=f"wh{li}")(h)
             h_new, c_new = _lstm_gates(gates, c)
             new_carry.append((h_new, c_new))
             x = h_new
@@ -69,6 +71,7 @@ class ConvLSTM(nn.Module):
     kernel_size: int = 3
     step: int = 16
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -79,8 +82,10 @@ class ConvLSTM(nn.Module):
 
         # Layer-0 input-gate sequence: the real conv at t=0, bias-only afterwards.
         wx_bias = self.param("wx0_bias", nn.initializers.zeros, (4 * hc0,))
-        gx0 = nn.Conv(4 * hc0, k, use_bias=False, kernel_init=ki, name="wx0")(x) + wx_bias
-        bias_plane = jnp.broadcast_to(wx_bias, (self.step - 1, b, h, w, 4 * hc0))
+        gx0 = nn.Conv(4 * hc0, k, use_bias=False, kernel_init=ki, dtype=self.dtype,
+                      name="wx0")(x) + wx_bias.astype(x.dtype)
+        bias_plane = jnp.broadcast_to(wx_bias.astype(x.dtype),
+                                      (self.step - 1, b, h, w, 4 * hc0))
         gx_seq = jnp.concatenate([gx0[None], bias_plane], axis=0)
 
         carry = [
@@ -93,6 +98,7 @@ class ConvLSTM(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0, out_axes=0,
-        )(self.hidden_channels, self.kernel_size, self.init_method, name="cells")
+        )(self.hidden_channels, self.kernel_size, self.init_method, self.dtype,
+          name="cells")
         _, hs = scan(carry, gx_seq)              # (step, B, h, w, hc_last)
         return jnp.moveaxis(hs, 0, 1)            # (B, step, h, w, hc_last)

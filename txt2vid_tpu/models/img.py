@@ -8,6 +8,8 @@ same operation.) Down blocks: LN-ReLU-conv3-LN-ReLU-(conv3 + 2x2 mean pool), sho
 mean-pool + conv1; LayerNorm normalizes over (H, W, C) as torch LayerNorm([C,hw,hw]).
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -22,36 +24,43 @@ def _mean_pool(x):
 class ResidualBlockUp(nn.Module):
     out_dim: int
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ki = make_kernel_init(self.init_method)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
-        shortcut = nn.Conv(self.out_dim, (1, 1), kernel_init=ki, name="conv_shortcut")(
-            upsample_nearest_2d(x))
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, name=name)
+        shortcut = nn.Conv(self.out_dim, (1, 1), kernel_init=ki, dtype=self.dtype,
+                           name="conv_shortcut")(upsample_nearest_2d(x))
         h = nn.relu(bn("bn1")(x))
         h = nn.Conv(self.out_dim, (3, 3), use_bias=False, kernel_init=ki,
-                    name="conv1")(upsample_nearest_2d(h))
+                    dtype=self.dtype, name="conv1")(upsample_nearest_2d(h))
         h = nn.relu(bn("bn2")(h))
-        h = nn.Conv(self.out_dim, (3, 3), kernel_init=ki, name="conv2")(h)
+        h = nn.Conv(self.out_dim, (3, 3), kernel_init=ki, dtype=self.dtype,
+                    name="conv2")(h)
         return shortcut + h
 
 
 class ResidualBlockDown(nn.Module):
     out_dim: int
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         ki = make_kernel_init(self.init_method)
         ln = lambda name: nn.LayerNorm(reduction_axes=(-3, -2, -1),
-                                       feature_axes=(-3, -2, -1), name=name)
-        shortcut = nn.Conv(self.out_dim, (1, 1), kernel_init=ki,
+                                       feature_axes=(-3, -2, -1),
+                                       dtype=self.dtype, name=name)
+        shortcut = nn.Conv(self.out_dim, (1, 1), kernel_init=ki, dtype=self.dtype,
                            name="conv_shortcut")(_mean_pool(x))
         h = nn.relu(ln("ln1")(x))
-        h = nn.Conv(x.shape[-1], (3, 3), use_bias=False, kernel_init=ki, name="conv1")(h)
+        h = nn.Conv(x.shape[-1], (3, 3), use_bias=False, kernel_init=ki,
+                    dtype=self.dtype, name="conv1")(h)
         h = nn.relu(ln("ln2")(h))
-        h = nn.Conv(self.out_dim, (3, 3), kernel_init=ki, name="conv2")(h)
+        h = nn.Conv(self.out_dim, (3, 3), kernel_init=ki, dtype=self.dtype,
+                    name="conv2")(h)
         return shortcut + _mean_pool(h)
 
 
@@ -61,6 +70,7 @@ class Gen(nn.Module):
     cond_dim: int = 0
     dim: int = 64
     init_method: str = "xavier"
+    dtype: Any = None
 
     @property
     def latent_size(self) -> int:
@@ -70,12 +80,16 @@ class Gen(nn.Module):
     def __call__(self, z, cond=None, train: bool = True):
         ki = make_kernel_init(self.init_method)
         d = self.dim
-        h = nn.Dense(4 * 4 * 8 * d, kernel_init=ki, name="ln1")(z)
+        if self.dtype is not None:
+            z = z.astype(self.dtype)
+        h = nn.Dense(4 * 4 * 8 * d, kernel_init=ki, dtype=self.dtype, name="ln1")(z)
         h = h.reshape(-1, 4, 4, 8 * d)
         for i, ch in enumerate((8 * d, 4 * d, 2 * d, d)):
-            h = ResidualBlockUp(ch, self.init_method, name=f"rb{i + 1}")(h, train=train)
-        h = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(h))
-        h = nn.Conv(3, (3, 3), kernel_init=ki, name="conv1")(h)
+            h = ResidualBlockUp(ch, self.init_method, self.dtype,
+                                name=f"rb{i + 1}")(h, train=train)
+        h = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype, name="bn")(h))
+        h = nn.Conv(3, (3, 3), kernel_init=ki, dtype=self.dtype, name="conv1")(h)
         return jnp.tanh(h)
 
 
@@ -85,13 +99,17 @@ class Discrim(nn.Module):
     cond_dim: int = 256
     dim: int = 64
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x=None, cond=None, xbar=None, train: bool = True):
         ki = make_kernel_init(self.init_method)
         d = self.dim
-        h = nn.Conv(d, (3, 3), kernel_init=ki, name="conv1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = nn.Conv(d, (3, 3), kernel_init=ki, dtype=self.dtype, name="conv1")(x)
         for i, ch in enumerate((2 * d, 4 * d, 8 * d, 8 * d)):
-            h = ResidualBlockDown(ch, self.init_method, name=f"rb{i + 1}")(h)
-        h = h.reshape(-1, 4 * 4 * 8 * d)
+            h = ResidualBlockDown(ch, self.init_method, self.dtype,
+                                  name=f"rb{i + 1}")(h)
+        h = h.reshape(-1, 4 * 4 * 8 * d).astype(jnp.float32)
         return nn.Dense(1, kernel_init=ki, name="ln1")(h)[:, 0]

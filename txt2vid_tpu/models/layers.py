@@ -5,6 +5,8 @@ the fused Pallas kernel on TPU (txt2vid_tpu/ops/pallas_attention.py) and plain X
 CPU; both are numerically the reference semantics (unscaled logits, max-pooled phi/g).
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -25,12 +27,14 @@ class Attention(nn.Module):
     ch: int
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         ki = make_kernel_init(self.init_method)
-        conv = lambda f, name: nn.Conv(f, (1, 1), use_bias=False, kernel_init=ki, name=name)
+        conv = lambda f, name: nn.Conv(f, (1, 1), use_bias=False, kernel_init=ki,
+                                       dtype=self.dtype, name=name)
         theta = conv(self.ch // 8, "theta")(x)
         phi = max_pool_2d(conv(self.ch // 8, "phi")(x))
         g = max_pool_2d(conv(self.ch // 2, "g")(x))
@@ -42,9 +46,10 @@ class Attention(nn.Module):
             g.reshape(b, m, self.ch // 2),
             use_pallas=self.use_pallas,
         ).reshape(b, h, w, self.ch // 2)
-        o = nn.Conv(self.ch, (1, 1), use_bias=False, kernel_init=ki, name="o")(o)
+        o = nn.Conv(self.ch, (1, 1), use_bias=False, kernel_init=ki,
+                    dtype=self.dtype, name="o")(o)
         gamma = self.param("gamma", nn.initializers.zeros, ())
-        return gamma * o + x
+        return gamma.astype(x.dtype) * o + x
 
 
 class Attention3d(nn.Module):
@@ -55,12 +60,14 @@ class Attention3d(nn.Module):
     ch: int
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, t, h, w, c = x.shape
         ki = make_kernel_init(self.init_method)
-        conv = lambda f, name: nn.Conv(f, (1, 1, 1), use_bias=False, kernel_init=ki, name=name)
+        conv = lambda f, name: nn.Conv(f, (1, 1, 1), use_bias=False, kernel_init=ki,
+                                       dtype=self.dtype, name=name)
         theta = conv(self.ch // 8, "theta")(x)
         phi = max_pool_3d(conv(self.ch // 8, "phi")(x))
         g = max_pool_3d(conv(self.ch // 2, "g")(x))
@@ -72,9 +79,10 @@ class Attention3d(nn.Module):
             g.reshape(b, m, self.ch // 2),
             use_pallas=self.use_pallas,
         ).reshape(b, t, h, w, self.ch // 2)
-        o = nn.Conv(self.ch, (1, 1, 1), use_bias=False, kernel_init=ki, name="o")(o)
+        o = nn.Conv(self.ch, (1, 1, 1), use_bias=False, kernel_init=ki,
+                    dtype=self.dtype, name="o")(o)
         gamma = self.param("gamma", nn.initializers.zeros, ())
-        return gamma * o + x
+        return gamma.astype(x.dtype) * o + x
 
 
 class UpBlock(nn.Module):
@@ -88,6 +96,7 @@ class UpBlock(nn.Module):
     with_non_local: bool = False
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -95,24 +104,29 @@ class UpBlock(nn.Module):
         mid_ch = self.in_channels if self.wide else out_ch
         ki_res = make_kernel_init(self.init_method, RESIDUAL_GAIN)
         ki = make_kernel_init(self.init_method)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, name=name)
 
         h = bn("bn1")(x)
         h = nn.relu(h)
         h = upsample_nearest_2d(h)
-        h = nn.Conv(mid_ch, (3, 3), kernel_init=ki_res, name="conv1")(h)
+        h = nn.Conv(mid_ch, (3, 3), kernel_init=ki_res, dtype=self.dtype,
+                    name="conv1")(h)
         h = bn("bn2")(h)
         h = nn.relu(h)
-        h = nn.Conv(out_ch, (3, 3), kernel_init=ki_res, name="conv2")(h)
+        h = nn.Conv(out_ch, (3, 3), kernel_init=ki_res, dtype=self.dtype,
+                    name="conv2")(h)
 
         identity = upsample_nearest_2d(x)
         if self.in_channels != out_ch:
-            identity = nn.Conv(out_ch, (1, 1), kernel_init=ki, name="conv_identity")(identity)
+            identity = nn.Conv(out_ch, (1, 1), kernel_init=ki, dtype=self.dtype,
+                               name="conv_identity")(identity)
 
         h = identity + h
         if self.with_non_local:
             h = Attention(out_ch, init_method=self.init_method,
-                          use_pallas=self.use_pallas, name="attn")(h)
+                          use_pallas=self.use_pallas, dtype=self.dtype,
+                          name="attn")(h)
         return h
 
 
@@ -131,6 +145,7 @@ class DownBlock(nn.Module):
     out_channels: int | None = None
     wide: bool = True
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -140,12 +155,15 @@ class DownBlock(nn.Module):
         ki = make_kernel_init(self.init_method)
 
         h = nn.relu(x)
-        h = nn.Conv(mid_ch, (3, 3, 3), kernel_init=ki_res, name="conv1")(h)
+        h = nn.Conv(mid_ch, (3, 3, 3), kernel_init=ki_res, dtype=self.dtype,
+                    name="conv1")(h)
         h = nn.relu(h)
-        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ki_res, name="conv2")(h)
+        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ki_res, dtype=self.dtype,
+                    name="conv2")(h)
         h = avg_pool_3d_shape_aware(h)
 
-        identity = nn.Conv(out_ch, (1, 1, 1), kernel_init=ki, name="conv_identity")(x)
+        identity = nn.Conv(out_ch, (1, 1, 1), kernel_init=ki, dtype=self.dtype,
+                           name="conv_identity")(x)
         identity = avg_pool_3d_shape_aware(identity)
         return identity + h
 
@@ -156,11 +174,13 @@ class RenderBlock(nn.Module):
     in_channels: int
     out_channels: int = 3
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn")(x)
         h = nn.relu(h)
         h = nn.Conv(self.out_channels, (3, 3), kernel_init=make_kernel_init(self.init_method),
-                    name="conv")(h)
+                    dtype=self.dtype, name="conv")(h)
         return jnp.tanh(h)

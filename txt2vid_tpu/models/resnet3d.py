@@ -8,6 +8,8 @@ head, and a StackGAN++-style conditional head over [features ‖ cond]. Returns
 `computed_features` (resnet3d.py:38-57).
 """
 
+from typing import Any
+
 import numpy as np
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,6 +37,7 @@ class Resnet3D(nn.Module):
     with_attn: bool = True
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x=None, cond=None, xbar=None, computed_features=None, train: bool = True):
@@ -46,29 +49,34 @@ class Resnet3D(nn.Module):
             feats = computed_features
         else:
             # stem residual block
-            h = nn.Conv(self.mid_ch, (3, 3, 3), kernel_init=ki_res, name="stem_conv1")(x)
+            h = nn.Conv(self.mid_ch, (3, 3, 3), kernel_init=ki_res,
+                        dtype=self.dtype, name="stem_conv1")(x)
             h = nn.relu(h)
-            h = nn.Conv(self.mid_ch, (3, 3, 3), kernel_init=ki_res, name="stem_conv2")(h)
+            h = nn.Conv(self.mid_ch, (3, 3, 3), kernel_init=ki_res,
+                        dtype=self.dtype, name="stem_conv2")(h)
             h = _avg_pool_122_s2(h)
             identity = _avg_pool_122_s2(x)
-            identity = nn.Conv(self.mid_ch, (1, 1, 1), kernel_init=ki, name="stem_skip")(identity)
+            identity = nn.Conv(self.mid_ch, (1, 1, 1), kernel_init=ki,
+                               dtype=self.dtype, name="stem_skip")(identity)
             h = identity + h
 
             out_ch = 128
             for i in range(self.num_down_blocks):
                 h = DownBlock(h.shape[-1], out_ch, wide=self.wide,
-                              init_method=self.init_method, name=f"down{i}")(h)
+                              init_method=self.init_method, dtype=self.dtype,
+                              name=f"down{i}")(h)
                 if i == 0 and self.with_attn:
                     h = Attention3d(out_ch, init_method=self.init_method,
-                                    use_pallas=self.use_pallas, name="attn")(h)
+                                    use_pallas=self.use_pallas, dtype=self.dtype,
+                                    name="attn")(h)
                 out_ch *= 2
 
-            feats = jnp.sum(h, axis=(1, 2, 3))          # (B, C) global sum pool
+            feats = jnp.sum(h.astype(jnp.float32), axis=(1, 2, 3))  # (B, C) sum pool, f32
             uncond = nn.Dense(1, kernel_init=ki, name="fc_uncond")(feats)
 
         if cond is not None:
             assert self.cond_dim > 0
-            x_plus_cond = jnp.concatenate([feats, cond], axis=1)
+            x_plus_cond = jnp.concatenate([feats, cond.astype(feats.dtype)], axis=1)
             cond_logit = nn.Dense(1, kernel_init=ki, name="fc")(x_plus_cond)
             return uncond, cond_logit, feats
 

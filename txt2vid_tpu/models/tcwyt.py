@@ -10,6 +10,8 @@ Deviations from the reference, deliberate and documented:
     broadcast, and the per-frame Python loop is a batch fold.
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -29,6 +31,7 @@ class Gen(nn.Module):
     num_channels: int = 3
     scale_factor: float = 1
     init_method: str = "xavier"
+    dtype: Any = None
 
     @property
     def latent_size(self) -> int:
@@ -37,26 +40,29 @@ class Gen(nn.Module):
     @nn.compact
     def __call__(self, z, cond=None, train: bool = True):
         ki = make_kernel_init(self.init_method)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, name=name)
         s = self.scale_factor
 
         x = z if cond is None else jnp.concatenate([z, cond], axis=1)
         in_size = x.shape[-1]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        x = nn.Dense(in_size, kernel_init=ki, name="input_map")(x)
+        x = nn.Dense(in_size, kernel_init=ki, dtype=self.dtype, name="input_map")(x)
         x = _lrelu(bn("input_bn")(x))
         x = x.reshape(x.shape[0], 1, 1, 1, in_size)
 
         x = nn.ConvTranspose(int(512 * s), (2, 6, 6), padding="VALID", use_bias=False,
-                             kernel_init=ki, name="dc0")(x)
+                             kernel_init=ki, dtype=self.dtype, name="dc0")(x)
         x = _lrelu(bn("bn0")(x))
         for i, ch in enumerate((256, 128, 64)):
             x = nn.ConvTranspose(int(ch * s), (4, 4, 4), strides=(2, 2, 2),
                                  padding="SAME", use_bias=False, kernel_init=ki,
-                                 name=f"dc{i + 1}")(x)
+                                 dtype=self.dtype, name=f"dc{i + 1}")(x)
             x = _lrelu(bn(f"bn{i + 1}")(x))
         x = nn.ConvTranspose(self.num_channels, (1, 1, 1), use_bias=False,
-                             kernel_init=ki, name="dc4")(x)
+                             kernel_init=ki, dtype=self.dtype, name="dc4")(x)
         return jnp.tanh(x)
 
 
@@ -69,37 +75,45 @@ class VideoDiscrim(nn.Module):
     num_channels: int = 3
     negative_slope: float = 0.2
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x=None, cond=None, xbar=None, train: bool = True):
         ki = make_kernel_init(self.init_method)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, name=name)
         m = self.mid_ch
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         h = nn.Conv(m, (4, 4, 4), strides=2, padding="SAME", use_bias=False,
-                    kernel_init=ki, name="conv0")(x)
+                    kernel_init=ki, dtype=self.dtype, name="conv0")(x)
         h = _lrelu(h, self.negative_slope)
         for i, ch in enumerate((m * 2, m * 4, m * 8)):
             h = nn.Conv(ch, (4, 4, 4), strides=2, padding="SAME", use_bias=False,
-                        kernel_init=ki, name=f"conv{i + 1}")(h)
+                        kernel_init=ki, dtype=self.dtype, name=f"conv{i + 1}")(h)
             h = _lrelu(bn(f"bn{i + 1}")(h), self.negative_slope)
 
         if cond is not None:
-            c = nn.Dense(self.cond_dim, kernel_init=ki, name="cond_map")(cond)
+            if self.dtype is not None:
+                cond = cond.astype(self.dtype)
+            c = nn.Dense(self.cond_dim, kernel_init=ki, dtype=self.dtype,
+                         name="cond_map")(cond)
             c = _lrelu(bn("cond_bn")(c), self.negative_slope)
             c = jnp.broadcast_to(c[:, None, None, None, :],
                                  h.shape[:4] + (self.cond_dim,))
             h = jnp.concatenate([h, c], axis=-1)
-            h = nn.Conv(512, (1, 1, 1), use_bias=False, kernel_init=ki, name="pred0")(h)
+            h = nn.Conv(512, (1, 1, 1), use_bias=False, kernel_init=ki,
+                        dtype=self.dtype, name="pred0")(h)
             h = _lrelu(bn("pred_bn")(h), self.negative_slope)
             h = nn.Conv(1, (1, 3, 3), padding="VALID", use_bias=False,
-                        kernel_init=ki, name="pred1")(h)
+                        kernel_init=ki, dtype=self.dtype, name="pred1")(h)
         else:
             h = nn.Conv(1, (1, 3, 3), strides=2, padding="VALID", use_bias=False,
-                        kernel_init=ki, name="pred")(h)
+                        kernel_init=ki, dtype=self.dtype, name="pred")(h)
 
         # per-sample mean logit (reference means over the whole batch; see module doc)
-        return jnp.mean(h.reshape(h.shape[0], -1), axis=1)
+        return jnp.mean(h.reshape(h.shape[0], -1).astype(jnp.float32), axis=1)
 
 
 class FrameMap(nn.Module):
@@ -108,19 +122,23 @@ class FrameMap(nn.Module):
 
     num_channels: int = 3
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, videos, train: bool = True):
         ki = make_kernel_init(self.init_method)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, name=name)
         b, t = videos.shape[:2]
         h = videos.reshape((b * t,) + videos.shape[2:])
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
         for i, ch in enumerate((64, 128, 256)):
             h = nn.Conv(ch, (4, 4), strides=2, padding="SAME", use_bias=False,
-                        kernel_init=ki, name=f"conv{i}")(h)
+                        kernel_init=ki, dtype=self.dtype, name=f"conv{i}")(h)
             h = _lrelu(bn(f"bn{i}")(h))
         h = nn.Conv(512, (4, 4), strides=2, padding="SAME", use_bias=False,
-                    kernel_init=ki, name="conv3")(h)
+                    kernel_init=ki, dtype=self.dtype, name="conv3")(h)
         return h.reshape((b, t) + h.shape[1:])
 
 
@@ -130,18 +148,25 @@ class _SentTiledHead(nn.Module):
 
     cond_dim: int = 256
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, frames, cond, train: bool = True):
         ki = make_kernel_init(self.init_method)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, name=name)
         b, t = frames.shape[:2]
+        if self.dtype is not None:
+            frames = frames.astype(self.dtype)
+            cond = cond.astype(self.dtype)
 
-        sent = nn.Dense(self.cond_dim, kernel_init=ki, name="sent_map")(cond)
+        sent = nn.Dense(self.cond_dim, kernel_init=ki, dtype=self.dtype,
+                        name="sent_map")(cond)
         sent = _lrelu(bn("sent_bn")(sent))
 
         h = frames.reshape((b * t,) + frames.shape[2:])
-        h = nn.Conv(512, (1, 1), use_bias=False, kernel_init=ki, name="map")(h)
+        h = nn.Conv(512, (1, 1), use_bias=False, kernel_init=ki, dtype=self.dtype,
+                    name="map")(h)
         h = _lrelu(bn("map_bn")(h))
 
         # tile sentence over (T, H, W) — the reference's per-pixel double loop
@@ -150,11 +175,12 @@ class _SentTiledHead(nn.Module):
         sent_t = sent_t.reshape((b * t,) + sent_t.shape[2:])
         h = jnp.concatenate([h, sent_t], axis=-1)
 
-        h = nn.Conv(512, (1, 1), use_bias=False, kernel_init=ki, name="pred0")(h)
+        h = nn.Conv(512, (1, 1), use_bias=False, kernel_init=ki, dtype=self.dtype,
+                    name="pred0")(h)
         h = _lrelu(bn("pred_bn")(h))
         h = nn.Conv(1, (2, 2), strides=2, padding="VALID", use_bias=False,
-                    kernel_init=ki, name="pred1")(h)
-        return jnp.mean(h.reshape(b, t, -1), axis=-1)        # (B, T) logits
+                    kernel_init=ki, dtype=self.dtype, name="pred1")(h)
+        return jnp.mean(h.reshape(b, t, -1).astype(jnp.float32), axis=-1)  # (B, T)
 
 
 class FrameDiscrim(nn.Module):
@@ -163,11 +189,12 @@ class FrameDiscrim(nn.Module):
 
     cond_dim: int = 256
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x=None, cond=None, xbar=None, train: bool = True):
-        return _SentTiledHead(self.cond_dim, self.init_method, name="head")(
-            xbar, cond, train=train)
+        return _SentTiledHead(self.cond_dim, self.init_method, self.dtype,
+                              name="head")(xbar, cond, train=train)
 
 
 class MotionDiscrim(nn.Module):
@@ -176,9 +203,10 @@ class MotionDiscrim(nn.Module):
 
     cond_dim: int = 256
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x=None, cond=None, xbar=None, train: bool = True):
         motions = xbar[:, 1:] - xbar[:, :-1]
-        return _SentTiledHead(self.cond_dim, self.init_method, name="head")(
-            motions, cond, train=train)
+        return _SentTiledHead(self.cond_dim, self.init_method, self.dtype,
+                              name="head")(motions, cond, train=train)

@@ -12,7 +12,7 @@ Discriminator (reference tganv2/discrim.py): one shared (or per-scale) Resnet3D 
 to the positional list of scales.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -30,12 +30,16 @@ class BaseFrameGen(nn.Module):
     in_channels: int = 1024
     out_channels: int = 128
     init_method: str = "xavier"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = UpBlock(self.in_channels, 512, init_method=self.init_method, name="up0")(x, train)
-        x = UpBlock(512, 256, init_method=self.init_method, name="up1")(x, train)
-        x = UpBlock(256, self.out_channels, init_method=self.init_method, name="up2")(x, train)
+        x = UpBlock(self.in_channels, 512, init_method=self.init_method,
+                    dtype=self.dtype, name="up0")(x, train)
+        x = UpBlock(512, 256, init_method=self.init_method,
+                    dtype=self.dtype, name="up1")(x, train)
+        x = UpBlock(256, self.out_channels, init_method=self.init_method,
+                    dtype=self.dtype, name="up2")(x, train)
         return x
 
 
@@ -60,6 +64,7 @@ class MultiScaleGen(nn.Module):
     with_non_local: bool = False
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z, cond=None, train: bool = True, output_blocks=None):
@@ -72,7 +77,9 @@ class MultiScaleGen(nn.Module):
         if cond is not None:
             x = jnp.concatenate([x, cond], axis=1)
         b = x.shape[0]
-        x = nn.Dense(fm_size, kernel_init=ki, name="fc")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Dense(fm_size, kernel_init=ki, dtype=self.dtype, name="fc")(x)
 
         if self.no_lstm:
             from txt2vid_tpu.models.tgan import FrameSeedGenerator
@@ -84,23 +91,25 @@ class MultiScaleGen(nn.Module):
             x = x.reshape(b, fm_h, fm_w, self.fm_channels)
             x = ConvLSTM(hidden_channels=(self.fm_channels,), kernel_size=3,
                          step=self.num_frames, init_method=self.init_method,
-                         name="clstm")(x)                       # (B, T, h, w, C)
+                         dtype=self.dtype, name="clstm")(x)     # (B, T, h, w, C)
             num_frames = self.num_frames
 
         # fold time into batch for the 2D block stack
         x = x.reshape((-1,) + x.shape[2:])
 
-        blocks = [BaseFrameGen(init_method=self.init_method, name="base")]
+        blocks = [BaseFrameGen(init_method=self.init_method, dtype=self.dtype,
+                               name="base")]
         renders = [RenderBlock(128, self.num_channels, init_method=self.init_method,
-                               name="render_base")]
+                               dtype=self.dtype, name="render_base")]
         prev = 128
         for i, ch in enumerate(self.additional_blocks):
             blocks.append(UpBlock(
                 prev, ch, init_method=self.init_method,
                 with_non_local=self.with_non_local and i == len(self.additional_blocks) - 2,
-                use_pallas=self.use_pallas, name=f"up{i}"))
+                use_pallas=self.use_pallas, dtype=self.dtype, name=f"up{i}"))
             renders.append(RenderBlock(ch, self.num_channels,
-                                       init_method=self.init_method, name=f"render{i}"))
+                                       init_method=self.init_method,
+                                       dtype=self.dtype, name=f"render{i}"))
             prev = ch
 
         rendered = []
@@ -133,6 +142,7 @@ class MultiScaleDiscrim(nn.Module):
     with_attn: bool = True
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    dtype: Any = None
 
     # flags the per-scale gradient-penalty path (reference losses.py:189 keys off a
     # `sub_discrims` attribute)
@@ -145,7 +155,7 @@ class MultiScaleDiscrim(nn.Module):
             return Resnet3D(num_channels=self.num_channels, cond_dim=self.cond_dim,
                             num_down_blocks=db, wide=self.wide, with_attn=self.with_attn,
                             init_method=self.init_method, use_pallas=self.use_pallas,
-                            name=name)
+                            dtype=self.dtype, name=name)
 
         if self.single_discrim:
             shared = make(self.discrim_down_blocks[-1], "discrim")
@@ -160,6 +170,8 @@ class MultiScaleDiscrim(nn.Module):
 
         out = []
         for pos, (si, scale) in enumerate(zip(scale_indices, x)):
+            if self.dtype is not None:
+                scale = scale.astype(self.dtype)
             cond_i = cond[pos] if cond is not None else None
             cf_i = computed_features[pos] if computed_features is not None else None
             out.append(subs[si](x=scale, cond=cond_i, computed_features=cf_i, train=train))

@@ -54,11 +54,15 @@ def main(args):
     else:
         status("Not using sentence encoder")
 
-    gen = create_object(args.G, cond_dim=cond_dim, init_method=args.init_method)
-    discrims = [create_object(d, cond_dim=cond_dim, init_method=args.init_method)
+    import jax.numpy as jnp
+    model_kwargs = dict(init_method=args.init_method)
+    if args.bf16:
+        status("Using bfloat16 compute")
+        model_kwargs["dtype"] = jnp.bfloat16
+    gen = create_object(args.G, cond_dim=cond_dim, **model_kwargs)
+    discrims = [create_object(d, cond_dim=cond_dim, **model_kwargs)
                 for d in args.D]
-    sample_mapping = create_object(args.M, init_method=args.init_method) \
-        if args.M else None
+    sample_mapping = create_object(args.M, **model_kwargs) if args.M else None
 
     gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
                   sample_mapping=sample_mapping, discrim_names=args.D_names,
@@ -192,6 +196,8 @@ def build_parser():
     parser.add_argument('--dont_use_sent', action='store_true', default=False)
     parser.add_argument('--end2end', action='store_true', default=False)
     parser.add_argument('--sgd', action='store_true', default=False)
+    parser.add_argument('--bf16', action='store_true', default=False,
+                        help='bfloat16 compute dtype for G/D (params stay f32)')
     parser.add_argument('--debug', action='store_true', default=False)
     parser.add_argument('--debug_nans', action='store_true', default=False)
     return parser
