@@ -66,6 +66,9 @@ def create_object(spec, **kwargs):
     {"class": ..., "args": {...}}. kwargs override JSON-provided args.
     """
     if isinstance(spec, str):
+        spec = spec.strip()
+        if spec.startswith("{"):                 # inline JSON spec
+            return create_object(json.loads(spec), **kwargs)
         if Path(spec).exists():
             with open(spec) as f:
                 return create_object(json.load(f), **kwargs)

@@ -135,6 +135,11 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     ensure_exists(params.out)
     ensure_exists(params.out_samples)
 
+    writer = None
+    if getattr(params, "use_writer", False):
+        from txt2vid_tpu.utils.writer import MetricsWriter
+        writer = MetricsWriter(params.out)
+
     gen_loss = RollingAvg(params.loss_window_size)
     discrim_loss = RollingAvg(params.loss_window_size)
     avg_data_load = RollingAvg(params.log_period)
@@ -160,6 +165,9 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             loss_g = float(metrics["loss_g"])
             discrim_loss.update(loss_d)
             gen_loss.update(loss_g)
+            if writer is not None:
+                writer.add_scalar("loss/discrim", loss_d, iteration)
+                writer.add_scalar("loss/gen", loss_g, iteration)
 
             first = iteration == 1
             if (first and params.save_initial) or (
@@ -206,4 +214,6 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             avg_iter.update(iter_watch.stop())
             iter_watch.start()
 
+    if writer is not None:
+        writer.close()
     return state

@@ -1,0 +1,95 @@
+"""Standalone sample-from-checkpoint CLI.
+
+The reference's txt2vid/test.py is dead code (broken imports, test.py:17-23); this is
+its working equivalent: load a GAN checkpoint, optionally encode captions from a
+sentence file, and dump sample grids.
+
+    python -m txt2vid_tpu.sample --weights out/iter_... \\
+        --G txt2vid_tpu.models.tganv2_cond.MultiScaleGen \\
+        --D txt2vid_tpu.models.tganv2_cond.MultiScaleDiscrim \\
+        --vocab vocab.pickle --sentences "digit 3 is left and right." \\
+        --out_samples samples/
+"""
+
+import argparse
+
+import jax
+import numpy as np
+
+from txt2vid_tpu.config import create_object
+from txt2vid_tpu.data import encode_caption
+from txt2vid_tpu.gan.cond_gan import CondGan
+from txt2vid_tpu.gan.train_step import TrainConfig, init_state
+from txt2vid_tpu.gan.trainer import sample, save_frames
+from txt2vid_tpu.utils import status, load_pickle, ensure_exists
+from txt2vid_tpu.utils.checkpoint import restore_state
+
+
+def main(args):
+    import jax.numpy as jnp
+    import optax
+
+    vocab = load_pickle(args.vocab) if args.vocab else None
+    txt_encoder = None
+    cond_dim = 0
+    if vocab is not None and not args.dont_use_sent:
+        txt_encoder = create_object(args.sent or "txt2vid_tpu.models.txt.Seq2Seq",
+                                    vocab_size=len(vocab))
+        cond_dim = txt_encoder.encoding_size
+
+    gen = create_object(args.G, cond_dim=cond_dim)
+    discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+
+    # rebuild the state template so the checkpoint can be restored into it
+    config = TrainConfig(frame_sizes=tuple(args.frame_sizes),
+                         latent_size=gan.gen.latent_size)
+    batch = {"video": jnp.zeros(
+        (args.num_samples, args.num_frames, args.frame_sizes[-1],
+         args.frame_sizes[-1], args.num_channels), jnp.float32)}
+    if txt_encoder is not None:
+        batch["captions"] = jnp.ones((args.num_samples, 8), jnp.int32)
+        batch["lengths"] = jnp.full((args.num_samples,), 8, jnp.int32)
+    opt = optax.adam(1e-4)
+    state = init_state(gan, jax.random.key(0), batch, opt, opt, config)
+    status(f"Restoring {args.weights}")
+    state = restore_state(state, args.weights)
+
+    cond = None
+    if txt_encoder is not None and args.sentences:
+        caps = [encode_caption(vocab, s) for s in args.sentences]
+        maxlen = max(len(c) for c in caps)
+        toks = np.zeros((len(caps), maxlen), np.int32)
+        lengths = np.asarray([len(c) for c in caps], np.int32)
+        for i, c in enumerate(caps):
+            toks[i, :len(c)] = c
+        cond = gan.encode(state.txt_vars, jnp.asarray(toks), jnp.asarray(lengths))
+        n = len(caps)
+    else:
+        n = args.num_samples
+
+    ensure_exists(args.out_samples)
+    fakes = sample(gan, state, n, jax.random.key(args.seed), cond=cond)
+    for f in fakes:
+        h, w = f.shape[-3], f.shape[-2]
+        path = f"{args.out_samples}/sample_{h}x{w}.png"
+        save_frames(np.asarray(f), path)
+        status(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", required=True)
+    p.add_argument("--G", required=True)
+    p.add_argument("--D", nargs="+", required=True)
+    p.add_argument("--sent", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--dont_use_sent", action="store_true")
+    p.add_argument("--sentences", nargs="+", default=None)
+    p.add_argument("--frame_sizes", type=int, nargs="+", default=[8, 16, 32, 64])
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--num_channels", type=int, default=3)
+    p.add_argument("--num_samples", type=int, default=8)
+    p.add_argument("--out_samples", default="out_samples")
+    p.add_argument("--seed", type=int, default=0)
+    main(p.parse_args())

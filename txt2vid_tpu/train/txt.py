@@ -103,6 +103,8 @@ def main(args):
         opt_state, params = loaded["optim"], loaded["txt"]
 
     ensure_exists(args.out)
+    from txt2vid_tpu.utils.writer import MetricsWriter
+    writer = MetricsWriter(args.out)
     avg = RollingAvg(20)
     it = 0
     for epoch in range(args.epochs):
@@ -118,6 +120,7 @@ def main(args):
             it += 1
             if it % args.log_every == 0:
                 status(f"epoch {epoch} iter {it}: loss {avg.get():.4f}")
+                writer.add_scalar("loss/train", avg.get(), it)
             if it % args.save_every == 0:
                 vloss = 0.0
                 nb = max(len(val_idx) // args.batch_size, 1)
@@ -126,6 +129,7 @@ def main(args):
                         val_idx[vb * args.batch_size:(vb + 1) * args.batch_size])
                     vloss += float(eval_loss(params, vc, vl))
                 status(f"val loss: {vloss / nb:.4f}")
+                writer.add_scalar("loss/val", vloss / nb, it)
                 save_state({"optim": opt_state, "txt": {"params": params}},
                            f"{args.out}/txt_iter_{it}")
     save_state({"optim": opt_state, "txt": {"params": params}}, f"{args.out}/txt_final")
