@@ -109,7 +109,7 @@ def encode_caption(vocab: Vocab, caption: str) -> np.ndarray:
 
 def load_video_frames(path: Path, num_frames: int = 16, frame_size: int | None = None,
                       num_channels: int = 3, random_frames: bool = False,
-                      rng=None) -> np.ndarray:
+                      rng=None, normalize: bool = True) -> np.ndarray:
     """Read a cached video as float32 (T, H, W, C) in [-1, 1].
 
     Supports: `<vid>.npy` packed uint8 (T, H, W, C) — the fast path — or a directory
@@ -131,14 +131,14 @@ def load_video_frames(path: Path, num_frames: int = 16, frame_size: int | None =
             for i in idx])
     if frames.ndim == 3:
         frames = frames[..., None]
-    frames = transform_frames(frames, frame_size, num_channels)
-    return frames
+    return transform_frames(frames, frame_size, num_channels, normalize=normalize)
 
 
 def transform_frames(frames: np.ndarray, frame_size: int | None,
-                     num_channels: int) -> np.ndarray:
+                     num_channels: int, normalize: bool = True) -> np.ndarray:
     """Center-crop + channel policy + [-1, 1] normalization (the reference
-    default_transform, data/__init__.py:357-370)."""
+    default_transform, data/__init__.py:357-370). normalize=False keeps uint8 —
+    the train step normalizes on-device, quartering host->device traffic."""
     t, h, w, c = frames.shape
     if frame_size is not None and (h != frame_size or w != frame_size):
         top = max(0, (h - frame_size) // 2)
@@ -146,9 +146,14 @@ def transform_frames(frames: np.ndarray, frame_size: int | None,
         frames = frames[:, top:top + frame_size, left:left + frame_size]
     if num_channels == 1 and frames.shape[-1] == 3:
         # ITU-R 601 luma, as PIL Grayscale
-        frames = (frames @ np.array([0.299, 0.587, 0.114], dtype=np.float32))[..., None]
+        luma = frames @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+        frames = luma[..., None]
+        if not normalize:
+            frames = frames.astype(np.uint8)
     elif num_channels == 3 and frames.shape[-1] == 1:
         frames = np.repeat(frames, 3, axis=-1)
+    if not normalize:
+        return np.ascontiguousarray(frames)
     frames = frames.astype(np.float32) / 255.0
     return frames * 2.0 - 1.0
 
@@ -157,13 +162,14 @@ class VideoDataset:
     """(video, caption) pairs over a frame cache + captions pickle."""
 
     def __init__(self, video_dir=None, vocab=None, captions=None, num_frames=16,
-                 frame_size=None, num_channels=3, random_frames=0):
+                 frame_size=None, num_channels=3, random_frames=0, normalize=True):
         self.video_dir = Path(video_dir)
         self.vocab = vocab
         self.num_frames = num_frames
         self.frame_size = frame_size
         self.num_channels = num_channels
         self.random_frames = bool(random_frames)
+        self.normalize = normalize
 
         caps = load_pickle(captions) if isinstance(captions, (str, Path)) else captions
         self.video_ids, self.captions = [], []
@@ -186,7 +192,7 @@ class VideoDataset:
         vid = self.video_ids[idx]
         frames = load_video_frames(self.video_dir / vid, self.num_frames,
                                    self.frame_size, self.num_channels,
-                                   self.random_frames)
+                                   self.random_frames, normalize=self.normalize)
         caption = encode_caption(self.vocab, self.captions[idx]) \
             if self.vocab is not None else None
         return frames, caption
@@ -272,10 +278,11 @@ class Loader:
 # (reference data/__init__.py:372-383; these names are part of the config surface)
 
 def my_dataset(data=None, vocab=None, anno=None, transform=None, random_frames=0,
-               num_frames=16, frame_size=None, num_channels=3, **_):
+               num_frames=16, frame_size=None, num_channels=3, normalize=True, **_):
     return VideoDataset(video_dir=data, vocab=vocab, captions=anno,
                         num_frames=num_frames, frame_size=frame_size,
-                        num_channels=num_channels, random_frames=random_frames)
+                        num_channels=num_channels, random_frames=random_frames,
+                        normalize=normalize)
 
 
 def cifar10_dataset(data=None, vocab=None, anno=None, transform=None, frame_size=None,

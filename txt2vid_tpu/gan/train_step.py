@@ -142,6 +142,9 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
 
     def train_step(state, batch, key):
         x = batch["video"]
+        if x.dtype == jnp.uint8:
+            # uint8 host transport; reference-normalization on device
+            x = x.astype(jnp.float32) / 127.5 - 1.0
         b = x.shape[0]
         k_z, k_pyr, k_gen, k_d, k_g = jax.random.split(key, 5)
 

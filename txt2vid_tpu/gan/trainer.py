@@ -45,7 +45,8 @@ def to_grid(video_batch: np.ndarray) -> np.ndarray:
     if v.ndim == 4:  # images -> single-frame videos
         v = v[:, None]
     b, t, h, w, c = v.shape
-    v = ((np.clip(v, -1, 1) + 1.0) * 127.5).astype(np.uint8)
+    if v.dtype != np.uint8:  # [-1, 1] floats; uint8 passes through
+        v = ((np.clip(v, -1, 1) + 1.0) * 127.5).astype(np.uint8)
     pad = 2
     grid = np.zeros((b * (h + pad) + pad, t * (w + pad) + pad, c), np.uint8)
     for i in range(b):

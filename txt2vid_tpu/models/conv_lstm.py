@@ -18,6 +18,7 @@ conv FLOPs vs a literal translation.
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from txt2vid_tpu.ops.initializers import make_kernel_init, fused_gate_init
@@ -28,6 +29,41 @@ def _lstm_gates(gates, c):
     c_new = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
     h_new = nn.sigmoid(o) * jnp.tanh(c_new)
     return h_new, c_new
+
+
+class _GateConv(nn.Module):
+    """SAME conv with the nn.Conv parameter layout, specialized for the 1x1-spatial
+    latent plane of 64px TGANv2 configs: with h = w = 1 every non-center tap of a 3x3
+    SAME conv sees only zero padding, so the op collapses to a dense matmul with the
+    kernel's center tap — identical math, 9x fewer FLOPs in the LSTM hot loop."""
+
+    features: int
+    kernel_size: Sequence[int]
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = None if bias is None else bias.astype(self.dtype)
+        if x.shape[1] == 1 and x.shape[2] == 1:
+            y = jnp.einsum("bhwc,cf->bhwf", x, kernel[kh // 2, kw // 2],
+                           preferred_element_type=x.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class _StackStep(nn.Module):
@@ -50,10 +86,10 @@ class _StackStep(nn.Module):
             if li == 0:
                 gates = gx0_t
             else:
-                gates = nn.Conv(4 * hc, k, kernel_init=ki, dtype=self.dtype,
-                                name=f"wx{li}")(x)
-            gates = gates + nn.Conv(4 * hc, k, use_bias=False, kernel_init=ki,
-                                    dtype=self.dtype, name=f"wh{li}")(h)
+                gates = _GateConv(4 * hc, k, kernel_init=ki, dtype=self.dtype,
+                                  name=f"wx{li}")(x)
+            gates = gates + _GateConv(4 * hc, k, use_bias=False, kernel_init=ki,
+                                      dtype=self.dtype, name=f"wh{li}")(h)
             h_new, c_new = _lstm_gates(gates, c)
             new_carry.append((h_new, c_new))
             x = h_new
@@ -82,8 +118,8 @@ class ConvLSTM(nn.Module):
 
         # Layer-0 input-gate sequence: the real conv at t=0, bias-only afterwards.
         wx_bias = self.param("wx0_bias", nn.initializers.zeros, (4 * hc0,))
-        gx0 = nn.Conv(4 * hc0, k, use_bias=False, kernel_init=ki, dtype=self.dtype,
-                      name="wx0")(x) + wx_bias.astype(x.dtype)
+        gx0 = _GateConv(4 * hc0, k, use_bias=False, kernel_init=ki, dtype=self.dtype,
+                        name="wx0")(x) + wx_bias.astype(x.dtype)
         bias_plane = jnp.broadcast_to(wx_bias.astype(x.dtype),
                                       (self.step - 1, b, h, w, 4 * hc0))
         gx_seq = jnp.concatenate([gx0[None], bias_plane], axis=0)

@@ -50,4 +50,5 @@ def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp"):
         train_step,
         in_shardings=(rep, bs, rep),
         out_shardings=(rep, rep),
+        donate_argnums=(0,),   # reuse the old state's buffers for the new state
     )

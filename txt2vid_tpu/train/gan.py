@@ -80,7 +80,8 @@ def main(args):
     status(f"Loading data from {args.data}")
     dset = create_object(args.data, vocab=vocab, anno=args.anno,
                          frame_size=args.frame_sizes[-1],
-                         num_channels=args.num_channels)
+                         num_channels=args.num_channels,
+                         normalize=not args.uint8_input)
     loader = get_loader(dset=dset, batch_size=args.batch_size, val=args.test,
                         num_workers=args.workers,
                         has_captions=args.anno is not None, seed=seed)
@@ -198,6 +199,10 @@ def build_parser():
     parser.add_argument('--sgd', action='store_true', default=False)
     parser.add_argument('--bf16', action='store_true', default=False,
                         help='bfloat16 compute dtype for G/D (params stay f32)')
+    parser.add_argument('--uint8_input', action='store_true', default=True,
+                        help='ship video batches as uint8, normalize on device')
+    parser.add_argument('--no_uint8_input', dest='uint8_input',
+                        action='store_false')
     parser.add_argument('--debug', action='store_true', default=False)
     parser.add_argument('--debug_nans', action='store_true', default=False)
     return parser
