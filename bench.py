@@ -42,7 +42,8 @@ MEASURE = 20
 def main():
     from txt2vid_tpu.gan import losses as L
     from txt2vid_tpu.gan.cond_gan import CondGan
-    from txt2vid_tpu.gan.train_step import TrainConfig, build_train_step, init_state
+    from txt2vid_tpu.gan.train_step import (
+        TrainConfig, build_train_step, init_state_abstract)
     from txt2vid_tpu.models import tganv2_cond
     from txt2vid_tpu.models.txt import Seq2Seq
     from txt2vid_tpu.parallel.mesh import (
@@ -60,33 +61,61 @@ def main():
     optD = optax.adam(2e-4, b1=0.5, b2=0.999)
 
     rng = np.random.default_rng(0)
-    batch = {
-        "video": jnp.asarray(rng.standard_normal(
+    batch = {   # host numpy; placed on device exactly once via shard_batch
+        "video": rng.standard_normal(
             (BATCH, NUM_FRAMES, FRAME_SIZES[-1], FRAME_SIZES[-1], 3),
-            dtype=np.float32).clip(-1, 1)),
-        "captions": jnp.asarray(rng.integers(4, vocab_size, (BATCH, 12)), jnp.int32),
-        "lengths": jnp.full((BATCH,), 12, jnp.int32),
+            dtype=np.float32).clip(-1, 1),
+        "captions": rng.integers(4, vocab_size, (BATCH, 12)).astype(np.int32),
+        "lengths": np.full((BATCH,), 12, np.int32),
     }
 
-    state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+    # abstract init (zero state, exact structure, no init executable) with
+    # host-side randomization — realistic numerics without a second compile
+    state = init_state_abstract(gan, jax.random.key(0), batch, optG, optD, cfg)
+    r = np.random.default_rng(1)
+
+    def rand_params(tree):
+        return jax.tree_util.tree_map(
+            lambda a: (r.standard_normal(a.shape).astype(a.dtype) * 0.02
+                       if a.dtype == np.float32 and a.ndim >= 1 else a), tree)
+
+    def with_params(v):
+        return {**v, "params": rand_params(v["params"])}
+
+    state = state.replace(
+        g_vars=with_params(state.g_vars),
+        d_vars=tuple(with_params(v) for v in state.d_vars),
+        txt_vars=with_params(state.txt_vars))
     mesh = make_mesh()
     step = jit_train_step_sharded(
         build_train_step(gan, L.RSGANLoss(), optG, optD, cfg), mesh)
     state = shard_train_state(state, mesh)
-    sbatch = shard_batch(jax.device_get(batch), mesh)
+    sbatch = shard_batch(batch, mesh)
 
+    # Timing methodology: a host-side VALUE fetch is the only reliable execution
+    # barrier (on remote-transport backends block_until_ready can report scheduled
+    # buffers as ready). Two runs of different lengths, each ended by a loss fetch,
+    # give per-step time as the slope — free of the fixed sync/RPC cost.
     key = jax.random.key(1)
     for i in range(WARMUP):
         key, k = jax.random.split(key)
         state, metrics = step(state, sbatch, k)
-    jax.block_until_ready(state.step)
+    float(metrics["loss_g"])
 
-    t0 = time.perf_counter()
-    for i in range(MEASURE):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, sbatch, k)
-    jax.block_until_ready(state.step)
-    dt = time.perf_counter() - t0
+    def run(n):
+        nonlocal state, key
+        t0 = time.perf_counter()
+        m = None
+        for i in range(n):
+            key, k = jax.random.split(key)
+            state, m = step(state, sbatch, k)
+        float(m["loss_g"])
+        return time.perf_counter() - t0
+
+    n_short, n_long = 5, 5 + MEASURE
+    dt_short = run(n_short)
+    dt_long = run(n_long)
+    dt = dt_long - dt_short
 
     n_chips = len(jax.devices())
     steps_per_sec_per_chip = MEASURE / dt / n_chips

@@ -216,7 +216,8 @@ class Loader:
     """Shuffling epoch iterator with threaded decode + host->device prefetch."""
 
     def __init__(self, dataset, batch_size=64, shuffle=True, num_workers=4,
-                 max_caption_len=32, seed=0, drop_last=True, device_prefetch=2):
+                 max_caption_len=32, seed=0, drop_last=True, device_prefetch=2,
+                 to_device=True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -225,6 +226,10 @@ class Loader:
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.device_prefetch = device_prefetch
+        # to_device=False yields host numpy batches — callers that shard over a mesh
+        # must device_put exactly once themselves (a device round-trip is expensive
+        # on remote transports)
+        self.to_device = to_device
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -267,7 +272,7 @@ class Loader:
                 # async H2D: device_put returns immediately; keeping `device_prefetch`
                 # batches in flight overlaps the copy with the train step (the
                 # reference's CUDA-side-stream prefetcher, data/__init__.py:131-156)
-                pending.append(jax.device_put(batch))
+                pending.append(jax.device_put(batch) if self.to_device else batch)
                 if len(pending) > self.device_prefetch:
                     yield pending.pop(0)
             for b in pending:
@@ -292,9 +297,10 @@ def cifar10_dataset(data=None, vocab=None, anno=None, transform=None, frame_size
 
 
 def get_loader(dset=None, batch_size=64, val=False, num_workers=4,
-               has_captions=False, max_caption_len=32, seed=0):
+               has_captions=False, max_caption_len=32, seed=0, to_device=True):
     return Loader(dset, batch_size=batch_size, shuffle=not val,
-                  num_workers=num_workers, max_caption_len=max_caption_len, seed=seed)
+                  num_workers=num_workers, max_caption_len=max_caption_len, seed=seed,
+                  to_device=to_device)
 
 
 def main(args):

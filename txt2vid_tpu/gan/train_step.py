@@ -69,6 +69,19 @@ def init_state(gan: CondGan, key, sample_batch, optG, optD, config: TrainConfig)
         key, sample_batch)
 
 
+def init_state_abstract(gan: CondGan, key, sample_batch, optG, optD,
+                        config: TrainConfig):
+    """Zero-valued state with the exact structure/shapes of init_state, built via
+    eval_shape — NO device computation or compile. For benchmarks and state templates
+    (checkpoint restore targets), where parameter values are irrelevant."""
+    import numpy as np
+
+    shapes = jax.eval_shape(
+        lambda k, b: _init_state_impl(gan, k, b, optG, optD, config),
+        key, sample_batch)
+    return jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+
 def _init_state_impl(gan: CondGan, key, sample_batch, optG, optD, config: TrainConfig):
     kg, kd, kt, km, ks, kp = jax.random.split(key, 6)
 

@@ -84,7 +84,8 @@ def main(args):
                          normalize=not args.uint8_input)
     loader = get_loader(dset=dset, batch_size=args.batch_size, val=args.test,
                         num_workers=args.workers,
-                        has_captions=args.anno is not None, seed=seed)
+                        has_captions=args.anno is not None, seed=seed,
+                        to_device=False)
 
     config = TrainConfig(
         frame_sizes=tuple(args.frame_sizes),
@@ -105,6 +106,12 @@ def main(args):
         sample_batch = dict(sample_batch)
         sample_batch["video"] = sample_batch["video"][:, 0]
     state = init_state(gan, jax.random.key(seed), sample_batch, optG, optD, config)
+
+    if args.resume and not args.weights:
+        from txt2vid_tpu.utils.checkpoint import latest_checkpoint
+        args.weights = latest_checkpoint(args.out)
+        if args.weights:
+            status(f"Auto-resuming from {args.weights}")
 
     if args.weights:
         status(f"Loading weights from {args.weights}")
@@ -143,7 +150,7 @@ def main(args):
             if args.img_model and not args.data_is_imgs:
                 batch = dict(batch)
                 batch["video"] = batch["video"][:, 0]
-            yield shard_batch(jax.device_get(batch), mesh)
+            yield shard_batch(batch, mesh)
 
     class LoaderAdapter:
         def __iter__(self):
@@ -184,6 +191,10 @@ def build_parser():
     parser.add_argument('--D_beta1', type=float, default=0.5)
     parser.add_argument('--D_beta2', type=float, default=0.9)
     parser.add_argument('--weights', type=str, default=None)
+    parser.add_argument('--resume', action='store_true', default=False,
+                        help='resume from the latest checkpoint in --out (the '
+                             'elastic-recovery story: relaunch with the same '
+                             'command after a failure)')
     parser.add_argument('--sent_weights', type=str, default=None)
     parser.add_argument('--data', type=str, required=True)
     parser.add_argument('--anno', type=str, default=None)
