@@ -150,6 +150,22 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     key = jax.random.key(seed)
     iteration = int(state.step)
 
+    # Metrics are left on device until a log/save boundary: a host value fetch is a
+    # device sync (expensive per-step on remote transports), and the train step must
+    # stay free-running (the reference's equivalent cost, float(loss) per iteration,
+    # was hidden by CUDA's cheap D2H path).
+    pending = []  # (iteration, device_metrics)
+
+    def drain_pending():
+        for it, m in pending:
+            ld, lg = float(m["loss_d"]), float(m["loss_g"])
+            discrim_loss.update(ld)
+            gen_loss.update(lg)
+            if writer is not None:
+                writer.add_scalar("loss/discrim", ld, it)
+                writer.add_scalar("loss/gen", lg, it)
+        pending.clear()
+
     for epoch in range(num_epoch):
         if params.log_period > 0:
             status(f"Epoch {epoch + 1} started")
@@ -161,23 +177,18 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
 
             key, k = jax.random.split(key)
             state, metrics = train_step(state, batch, k)
-
-            loss_d = float(metrics["loss_d"])
-            loss_g = float(metrics["loss_g"])
-            discrim_loss.update(loss_d)
-            gen_loss.update(loss_g)
-            if writer is not None:
-                writer.add_scalar("loss/discrim", loss_d, iteration)
-                writer.add_scalar("loss/gen", loss_g, iteration)
+            pending.append((iteration, metrics))
 
             first = iteration == 1
             if (first and params.save_initial) or (
                     params.save_model_period > 0
                     and iteration % params.save_model_period == 0):
+                drain_pending()
                 name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
                 save_state(state, f"{params.out}/{name}")
 
             if params.log_period > 0 and iteration % params.log_period == 0:
+                drain_pending()
                 status("[%d/%d; %d/%d] - Iter %d, Loss_D: %.4f Loss_G: %.4f - "
                        "%.4f sec/iter; %.4f sec/batch load" % (
                            epoch, num_epoch, i, len(dataset), iteration,
@@ -215,6 +226,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             avg_iter.update(iter_watch.stop())
             iter_watch.start()
 
+    drain_pending()
     if writer is not None:
         writer.close()
     return state
