@@ -252,3 +252,32 @@ class TestTxt:
                                 teacher_force=True, method=Seq2Seq.decode)
         assert raw.shape == (2, 5, 50)
         assert syms.shape == (2, 5)
+
+
+class TestRemat:
+    def test_remat_gen_matches_and_grads(self):
+        kwargs = dict(latent_size=16, width=16, height=16, num_channels=1,
+                      fm_channels=16, additional_blocks=(8,), num_frames=4,
+                      use_pallas=False)
+        gen = tganv2.MultiScaleGen(**kwargs)
+        gen_r = tganv2.MultiScaleGen(remat=True, **kwargs)
+        z = jax.random.normal(jax.random.key(0), (4, 16))
+        rngs = {"params": jax.random.key(1), "sample": jax.random.key(2)}
+        v = gen.init(rngs, z, train=True)
+        out = gen.apply(v, z, train=True, rngs={"sample": jax.random.key(2)},
+                        mutable=["batch_stats"])[0]
+        out_r = gen_r.apply(v, z, train=True, rngs={"sample": jax.random.key(2)},
+                            mutable=["batch_stats"])[0]
+        for a, b in zip(out, out_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        def loss(params, model):
+            o = model.apply({"params": params, "batch_stats": v["batch_stats"]},
+                            z, train=True, rngs={"sample": jax.random.key(2)},
+                            mutable=["batch_stats"])[0]
+            return sum(jnp.sum(x ** 2) for x in o)
+
+        g1 = jax.grad(lambda p: loss(p, gen))(v["params"])
+        g2 = jax.grad(lambda p: loss(p, gen_r))(v["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

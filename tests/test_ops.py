@@ -116,3 +116,31 @@ class TestInitializers:
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             make_kernel_init("nope")
+
+
+class TestPallasInterpret:
+    """The fused kernel's semantics, validated on CPU via Pallas interpret mode
+    (the compiled kernel itself is validated on hardware by tpu_checks.py)."""
+
+    def test_fused_matches_core(self):
+        from txt2vid_tpu.ops.pallas_attention import fused_attention
+        k = jax.random.key(3)
+        kt, kp, kg = jax.random.split(k, 3)
+        theta = jax.random.normal(kt, (2, 64, 8))
+        phi = jax.random.normal(kp, (2, 16, 8))
+        g = jax.random.normal(kg, (2, 16, 12))
+        ref = attention_core(theta, phi, g)
+        out = fused_attention(theta, phi, g, block_n=32, block_m=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_online_softmax_multi_block(self):
+        from txt2vid_tpu.ops.pallas_attention import fused_attention
+        # many M blocks exercise the running-max/sum carry
+        k = jax.random.key(4)
+        kt, kp, kg = jax.random.split(k, 3)
+        theta = jax.random.normal(kt, (1, 16, 4)) * 4  # large logits stress stability
+        phi = jax.random.normal(kp, (1, 32, 4)) * 4
+        g = jax.random.normal(kg, (1, 32, 8))
+        ref = attention_core(theta, phi, g)
+        out = fused_attention(theta, phi, g, block_n=8, block_m=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -65,6 +65,7 @@ class MultiScaleGen(nn.Module):
     init_method: str = "xavier"
     use_pallas: bool | None = None
     dtype: Any = None
+    remat: bool = False   # rematerialize block activations (memory for large configs)
 
     @nn.compact
     def __call__(self, z, cond=None, train: bool = True, output_blocks=None):
@@ -97,13 +98,20 @@ class MultiScaleGen(nn.Module):
         # fold time into batch for the 2D block stack
         x = x.reshape((-1,) + x.shape[2:])
 
-        blocks = [BaseFrameGen(init_method=self.init_method, dtype=self.dtype,
-                               name="base")]
+        base_cls = BaseFrameGen
+        up_cls = UpBlock
+        if self.remat:
+            # static_argnums counts self at 0: (self, x, train) -> train = 2
+            base_cls = nn.remat(BaseFrameGen, static_argnums=(2,))
+            up_cls = nn.remat(UpBlock, static_argnums=(2,))
+
+        blocks = [base_cls(init_method=self.init_method, dtype=self.dtype,
+                           name="base")]
         renders = [RenderBlock(128, self.num_channels, init_method=self.init_method,
                                dtype=self.dtype, name="render_base")]
         prev = 128
         for i, ch in enumerate(self.additional_blocks):
-            blocks.append(UpBlock(
+            blocks.append(up_cls(
                 prev, ch, init_method=self.init_method,
                 with_non_local=self.with_non_local and i == len(self.additional_blocks) - 2,
                 use_pallas=self.use_pallas, dtype=self.dtype, name=f"up{i}"))
@@ -120,7 +128,7 @@ class MultiScaleGen(nn.Module):
                 num_frames //= 2
                 x = v.reshape((-1,) + v.shape[2:])
 
-            x = block(x, train=train)
+            x = block(x, train)   # positional: remat static_argnums covers train
 
             if i == len(blocks) - 1 or train or (output_blocks is not None and i in output_blocks):
                 r = render(x, train=train)
@@ -143,6 +151,7 @@ class MultiScaleDiscrim(nn.Module):
     init_method: str = "xavier"
     use_pallas: bool | None = None
     dtype: Any = None
+    remat: bool = False
 
     # flags the per-scale gradient-penalty path (reference losses.py:189 keys off a
     # `sub_discrims` attribute)
@@ -151,11 +160,16 @@ class MultiScaleDiscrim(nn.Module):
     @nn.compact
     def __call__(self, x, cond=None, xbar=None, computed_features=None, train: bool = True,
                  scale_indices=None):
+        cls = Resnet3D
+        if self.remat:
+            # (self, x, cond, xbar, computed_features, train) -> train = 5
+            cls = nn.remat(Resnet3D, static_argnums=(5,))
+
         def make(db, name):
-            return Resnet3D(num_channels=self.num_channels, cond_dim=self.cond_dim,
-                            num_down_blocks=db, wide=self.wide, with_attn=self.with_attn,
-                            init_method=self.init_method, use_pallas=self.use_pallas,
-                            dtype=self.dtype, name=name)
+            return cls(num_channels=self.num_channels, cond_dim=self.cond_dim,
+                       num_down_blocks=db, wide=self.wide, with_attn=self.with_attn,
+                       init_method=self.init_method, use_pallas=self.use_pallas,
+                       dtype=self.dtype, name=name)
 
         if self.single_discrim:
             shared = make(self.discrim_down_blocks[-1], "discrim")
@@ -174,5 +188,5 @@ class MultiScaleDiscrim(nn.Module):
                 scale = scale.astype(self.dtype)
             cond_i = cond[pos] if cond is not None else None
             cf_i = computed_features[pos] if computed_features is not None else None
-            out.append(subs[si](x=scale, cond=cond_i, computed_features=cf_i, train=train))
+            out.append(subs[si](scale, cond_i, None, cf_i, train))
         return out
