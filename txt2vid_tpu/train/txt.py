@@ -92,10 +92,17 @@ def main(args):
     opt_state = opt.init(params)
 
     loss_fn = build_loss_fn(model, args.max_len)
-    grad_tf = jax.jit(jax.value_and_grad(
-        lambda p, c, l: loss_fn(p, c, l, True)))
-    grad_free = jax.jit(jax.value_and_grad(
-        lambda p, c, l: loss_fn(p, c, l, False)))
+
+    def make_step(teacher_force):
+        def step(params, opt_state, caps, lengths):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, caps, lengths, teacher_force))(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    step_tf = make_step(True)
+    step_free = make_step(False)
     eval_loss = jax.jit(lambda p, c, l: loss_fn(p, c, l, False))
 
     if args.weights:
@@ -113,9 +120,8 @@ def main(args):
             idxs = train_idx[b * args.batch_size:(b + 1) * args.batch_size]
             caps, lengths = dset.batch(idxs)
             tf = rng.random() < args.teacher_force_p
-            loss, grads = (grad_tf if tf else grad_free)(params, caps, lengths)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state, loss = (step_tf if tf else step_free)(
+                params, opt_state, caps, lengths)
             avg.update(float(loss))
             it += 1
             if it % args.log_every == 0:
