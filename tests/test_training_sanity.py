@@ -49,3 +49,30 @@ def test_losses_move_in_the_right_direction():
     assert all(np.isfinite(v) for v in ld + lg)
     # the adversarial coupling is live: G loss must respond (not frozen/constant)
     assert np.std(lg) > 1e-4, f"G loss is static: {lg}"
+
+
+def test_generator_converges_to_easy_target():
+    """The full engine must actually LEARN: on an all-bright target the generator's
+    output mean should approach +0.9 within ~60 steps (verified: reaches ~0.9 by 50)."""
+    gen = tganv2.MultiScaleGen(latent_size=8, width=16, height=16, num_channels=1,
+                               fm_channels=8, additional_blocks=(8,), num_frames=4,
+                               use_pallas=False)
+    discrim = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1), num_channels=1,
+                                       with_attn=False, use_pallas=False)
+    gan = CondGan(gen=gen, discrims=[discrim])
+    cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True, latent_size=8)
+    optG = optax.adam(2e-4, b1=0.5, b2=0.999)
+    optD = optax.adam(2e-4, b1=0.5, b2=0.999)
+    batch = {"video": jnp.full((8, 4, 16, 16, 1), 0.9, jnp.float32)}
+    state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+    step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+
+    key = jax.random.key(1)
+    for i in range(60):
+        key, k = jax.random.split(key)
+        state, m = step(state, batch, k)
+
+    fakes = gan.generate(state.g_vars, jax.random.normal(jax.random.key(5), (8, 8)),
+                         key=jax.random.key(2), train=True)
+    mean_out = float(fakes[-1].mean())
+    assert mean_out > 0.5, f"generator failed to move toward the target: {mean_out}"

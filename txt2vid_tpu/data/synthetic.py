@@ -20,14 +20,18 @@ from txt2vid_tpu.utils.misc import ensure_exists
 
 
 def _glyph_digits(size: int = 28):
-    """Render digit glyphs 0-9 with PIL's built-in font, scaled to `size`."""
+    """Render digit glyphs 0-9 with PIL's built-in font, scaled to `size`. Drawn at
+    offset taps for a bold stroke — MNIST-like pixel density (thin glyphs make the
+    data mode ~99% background, which invites early GAN mode collapse)."""
     from PIL import Image, ImageDraw, ImageFont
     font = ImageFont.load_default()
     glyphs = {}
     for d in range(10):
         img = Image.new("L", (16, 16), 0)
         draw = ImageDraw.Draw(img)
-        draw.text((4, 2), str(d), fill=255, font=font)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                draw.text((4 + dx, 2 + dy), str(d), fill=255, font=font)
         glyphs[d] = [np.asarray(img.resize((size, size), Image.NEAREST))]
     return glyphs
 
