@@ -176,6 +176,15 @@ class CondGan:
 
     def _gradient_penalty(self, i, d_vars, key, real_scales, fake_scales, cond_scales,
                           fake_cond_scales, real_mapping, fake_mapping, train):
+        from txt2vid_tpu.ops.attention import no_pallas
+        with no_pallas():
+            return self._gradient_penalty_impl(
+                i, d_vars, key, real_scales, fake_scales, cond_scales,
+                fake_cond_scales, real_mapping, fake_mapping, train)
+
+    def _gradient_penalty_impl(self, i, d_vars, key, real_scales, fake_scales,
+                               cond_scales, fake_cond_scales, real_mapping,
+                               fake_mapping, train):
         d = self.discrims[i]
         if getattr(d, "is_multiscale", False):
             def d_fn_for_scale(si):

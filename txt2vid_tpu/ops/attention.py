@@ -72,8 +72,29 @@ def _fused_bwd(res, do):
 attention_core_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+import contextlib
+
+_PALLAS_DISABLED = False
+
+
+@contextlib.contextmanager
+def no_pallas():
+    """Trace-time override forcing the XLA attention path. The fused kernel's custom
+    VJP defines first-order gradients only; code that needs second-order AD through
+    the discriminator (the gradient penalty's double backward) traces under this."""
+    global _PALLAS_DISABLED
+    prev = _PALLAS_DISABLED
+    _PALLAS_DISABLED = True
+    try:
+        yield
+    finally:
+        _PALLAS_DISABLED = prev
+
+
 def attention_core_auto(theta, phi, g, use_pallas: bool | None = None):
     """Dispatch to the fused Pallas kernel on TPU, XLA everywhere else."""
+    if _PALLAS_DISABLED:
+        return attention_core(theta, phi, g)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
