@@ -144,3 +144,29 @@ class TestPallasInterpret:
         ref = attention_core(theta, phi, g)
         out = fused_attention(theta, phi, g, block_n=8, block_m=4, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+class TestNoPallasOverride:
+    def test_context_forces_xla_path(self):
+        from txt2vid_tpu.ops import attention as A
+
+        calls = []
+        orig = A.attention_core_fused
+        try:
+            A.attention_core_fused = lambda *a: calls.append("pallas") or orig(*a)
+            theta = jnp.ones((1, 8, 4)); phi = jnp.ones((1, 4, 4)); g = jnp.ones((1, 4, 4))
+            with A.no_pallas():
+                A.attention_core_auto(theta, phi, g, use_pallas=True)
+            assert calls == []  # fused path not taken under no_pallas
+        finally:
+            A.attention_core_fused = orig
+
+    def test_flag_restored_after_exception(self):
+        from txt2vid_tpu.ops import attention as A
+        try:
+            with A.no_pallas():
+                assert A._PALLAS_DISABLED
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert not A._PALLAS_DISABLED
