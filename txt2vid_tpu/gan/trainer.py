@@ -13,7 +13,7 @@ import numpy as np
 import jax
 
 from txt2vid_tpu.utils import RollingAvg, Stopwatch, status, ensure_exists
-from txt2vid_tpu.utils.checkpoint import checkpoint_name, save_state
+from txt2vid_tpu.utils.checkpoint import checkpoint_name, save_state, AsyncCheckpointer
 
 
 def add_params_to_parser(parser: argparse.ArgumentParser):
@@ -150,6 +150,8 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     key = jax.random.key(seed)
     iteration = int(state.step)
 
+    checkpointer = AsyncCheckpointer()
+
     # Metrics are left on device until a log/save boundary: a host value fetch is a
     # device sync (expensive per-step on remote transports), and the train step must
     # stay free-running (the reference's equivalent cost, float(loss) per iteration,
@@ -185,7 +187,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                     and iteration % params.save_model_period == 0):
                 drain_pending()
                 name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
-                save_state(state, f"{params.out}/{name}")
+                checkpointer.save(state, f"{params.out}/{name}")
 
             if params.log_period > 0 and iteration % params.log_period == 0:
                 drain_pending()
@@ -227,6 +229,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             iter_watch.start()
 
     drain_pending()
+    checkpointer.wait()
     if writer is not None:
         writer.close()
     return state

@@ -8,6 +8,7 @@ file; `iter_%d_lossG_%.4f_lossD_%.4f` filenames are kept for parity.
 """
 
 import os
+import threading
 from pathlib import Path
 
 import jax
@@ -31,6 +32,34 @@ def save_state(state, path: str) -> str:
         f.write(data)
     os.replace(tmp, path)
     return str(path)
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpointing: the device->host pull + serialization of a
+    multi-GB train state can stall the train loop for minutes on slow transports.
+    At most one save is in flight; a save requested while busy is dropped with a
+    warning (the next period's save will cover it)."""
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, state, path: str) -> bool:
+        if self._thread is not None and self._thread.is_alive():
+            from txt2vid_tpu.utils.logging import warn
+            warn(f"previous checkpoint save still in flight; skipping {path}")
+            return False
+        # device-side snapshot first: the train step DONATES the live state's
+        # buffers, so the background thread must not read them after the next step
+        state = jax.tree_util.tree_map(
+            lambda a: a.copy() if hasattr(a, "copy") else a, state)
+        self._thread = threading.Thread(target=save_state, args=(state, path),
+                                        daemon=True)
+        self._thread.start()
+        return True
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
 
 
 def restore_state(template, path: str):
