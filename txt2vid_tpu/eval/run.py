@@ -1,0 +1,109 @@
+"""Sample-fidelity evaluation CLI: generate N videos from a checkpoint and score
+them against real data (FID over random-conv features + pixel statistics) — the
+quantitative evaluation the reference never implemented (thesis.tex:557).
+
+    python -m txt2vid_tpu.eval.run --weights out/iter_... \\
+        --G txt2vid_tpu.models.tganv2_cond.MultiScaleGen \\
+        --D txt2vid_tpu.models.tganv2_cond.MultiScaleDiscrim \\
+        --vocab vocab.pickle --data ./videos --anno sent.pickle --num 128
+"""
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from txt2vid_tpu.config import create_object
+from txt2vid_tpu.data import VideoDataset
+from txt2vid_tpu.eval.metrics import sample_fidelity_report
+from txt2vid_tpu.gan.cond_gan import CondGan
+from txt2vid_tpu.gan.train_step import TrainConfig, init_state_abstract
+from txt2vid_tpu.gan.trainer import sample, _jitted_encode
+from txt2vid_tpu.utils import status, load_pickle
+from txt2vid_tpu.utils.checkpoint import restore_state
+
+
+def main(args):
+    import jax.numpy as jnp
+    import optax
+
+    vocab = load_pickle(args.vocab) if args.vocab else None
+    txt_encoder = None
+    cond_dim = 0
+    if vocab is not None and not args.dont_use_sent:
+        txt_encoder = create_object(args.sent or "txt2vid_tpu.models.txt.Seq2Seq",
+                                    vocab_size=len(vocab))
+        cond_dim = txt_encoder.encoding_size
+
+    gen = create_object(args.G, cond_dim=cond_dim)
+    discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+
+    config = TrainConfig(frame_sizes=tuple(args.frame_sizes),
+                         latent_size=gan.gen.latent_size)
+    b = args.batch_size
+    tmpl_batch = {"video": jnp.zeros(
+        (b, args.num_frames, args.frame_sizes[-1], args.frame_sizes[-1],
+         args.num_channels), jnp.float32)}
+    if txt_encoder is not None:
+        tmpl_batch["captions"] = jnp.ones((b, 8), jnp.int32)
+        tmpl_batch["lengths"] = jnp.full((b,), 8, jnp.int32)
+    opt = optax.adam(1e-4)
+    state = init_state_abstract(gan, jax.random.key(0), tmpl_batch, opt, opt, config)
+    status(f"Restoring {args.weights}")
+    state = restore_state(state, args.weights)
+
+    dset = VideoDataset(video_dir=args.data, vocab=vocab, captions=args.anno,
+                        num_frames=args.num_frames,
+                        frame_size=args.frame_sizes[-1],
+                        num_channels=args.num_channels)
+
+    reals, fakes = [], []
+    key = jax.random.key(args.seed)
+    rng = np.random.default_rng(args.seed)
+    idxs = rng.permutation(len(dset))[:args.num]
+    for start in range(0, len(idxs), b):
+        chunk = idxs[start:start + b]
+        if len(chunk) < b:
+            break
+        items = [dset[int(i)] for i in chunk]
+        reals.append(np.stack([v for v, _ in items]))
+        cond = None
+        if txt_encoder is not None:
+            caps = np.zeros((b, 16), np.int32)
+            lengths = np.zeros((b,), np.int32)
+            for i, (_, c) in enumerate(items):
+                c = c[:16]
+                caps[i, :len(c)] = c
+                lengths[i] = len(c)
+            cond = _jitted_encode(gan)(state.txt_vars, jnp.asarray(caps),
+                                       jnp.asarray(lengths))
+        key, k = jax.random.split(key)
+        fakes.append(np.asarray(sample(gan, state, b, k, cond=cond)[-1]))
+
+    real = np.concatenate(reals)
+    fake = np.concatenate(fakes)
+    status(f"evaluating {len(real)} real vs {len(fake)} generated videos")
+    report = sample_fidelity_report(real, fake)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", required=True)
+    p.add_argument("--G", required=True)
+    p.add_argument("--D", nargs="+", required=True)
+    p.add_argument("--sent", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--dont_use_sent", action="store_true")
+    p.add_argument("--data", required=True)
+    p.add_argument("--anno", default=None)
+    p.add_argument("--frame_sizes", type=int, nargs="+", default=[8, 16, 32, 64])
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--num_channels", type=int, default=3)
+    p.add_argument("--num", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    main(p.parse_args())
