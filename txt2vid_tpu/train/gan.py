@@ -81,6 +81,7 @@ def main(args):
     dset = create_object(args.data, vocab=vocab, anno=args.anno,
                          frame_size=args.frame_sizes[-1],
                          num_channels=args.num_channels,
+                         random_frames=args.random_frames,
                          normalize=not args.uint8_input)
     loader = get_loader(dset=dset, batch_size=args.batch_size, val=args.test,
                         num_workers=args.workers,
@@ -216,6 +217,15 @@ def build_parser():
                         action='store_false')
     parser.add_argument('--debug', action='store_true', default=False)
     parser.add_argument('--debug_nans', action='store_true', default=False)
+    # accepted-for-compatibility flags from the reference CLI (gan.py:172-182):
+    # --cuda/--ngpu are meaningless under XLA (the mesh covers all local devices;
+    # reference parsed --ngpu but never used it either); --opt_level (apex AMP) maps
+    # to --bf16.
+    parser.add_argument('--cuda', action='store_true', default=False,
+                        help=argparse.SUPPRESS)
+    parser.add_argument('--ngpu', type=int, default=1, help=argparse.SUPPRESS)
+    parser.add_argument('--opt_level', type=str, default='O2',
+                        help=argparse.SUPPRESS)
     return parser
 
 
