@@ -19,7 +19,7 @@ import numpy as np
 from txt2vid_tpu.config import create_object
 from txt2vid_tpu.data import encode_caption
 from txt2vid_tpu.gan.cond_gan import CondGan
-from txt2vid_tpu.gan.train_step import TrainConfig, init_state
+from txt2vid_tpu.gan.train_step import TrainConfig, init_state_abstract
 from txt2vid_tpu.gan.trainer import sample, save_frames
 from txt2vid_tpu.utils import status, load_pickle, ensure_exists
 from txt2vid_tpu.utils.checkpoint import restore_state
@@ -51,7 +51,7 @@ def main(args):
         batch["captions"] = jnp.ones((args.num_samples, 8), jnp.int32)
         batch["lengths"] = jnp.full((args.num_samples,), 8, jnp.int32)
     opt = optax.adam(1e-4)
-    state = init_state(gan, jax.random.key(0), batch, opt, opt, config)
+    state = init_state_abstract(gan, jax.random.key(0), batch, opt, opt, config)
     status(f"Restoring {args.weights}")
     state = restore_state(state, args.weights)
 
