@@ -81,3 +81,40 @@ class TestShardedStep:
         # the dryrun path: full conditional train step over a dp=8 mesh
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestTxtHandoff:
+    def test_restore_txt_vars_from_pretrain_checkpoint(self, tmp_path):
+        """The txt-pretrain -> GAN --sent_weights handoff: txt.py saves
+        {"optim": opt_state, "txt": {"params": ...}}; the GAN CLI must recover the
+        variables without knowing the optimizer's structure."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from txt2vid_tpu.models.txt import Seq2Seq
+        from txt2vid_tpu.utils.checkpoint import restore_txt_vars
+
+        model = Seq2Seq(vocab_size=12, embed_size=8, hidden_size=16, num_layers=1)
+        caps = np.ones((2, 4), np.int32)
+        variables = model.init(jax.random.key(0), jnp.asarray(caps),
+                               lengths=jnp.array([4, 4]))
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(variables["params"])
+        path = tmp_path / "txt_final"
+        save_state({"optim": opt_state, "txt": {"params": variables["params"]}},
+                   str(path))
+
+        restored = restore_txt_vars(str(path))
+        ref = jax.tree_util.tree_leaves(variables["params"])
+        got = jax.tree_util.tree_leaves(restored["params"])
+        assert len(ref) == len(got)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_restore_txt_vars_bare(self, tmp_path):
+        import numpy as _np
+        from txt2vid_tpu.utils.checkpoint import restore_txt_vars
+        path = tmp_path / "bare"
+        save_state({"params": {"w": _np.ones((2, 2), _np.float32)}}, str(path))
+        restored = restore_txt_vars(str(path))
+        _np.testing.assert_array_equal(restored["params"]["w"], _np.ones((2, 2)))

@@ -119,15 +119,9 @@ def main(args):
         state = restore_state(state, args.weights)
 
     if args.sent_weights:
+        from txt2vid_tpu.utils.checkpoint import restore_txt_vars
         status(f"Loading pre-trained sentence model from {args.sent_weights}")
-        txt_tmpl = {"txt": state.txt_vars, "opt": None}
-        try:
-            loaded = restore_state(txt_tmpl, args.sent_weights)
-            state = state.replace(txt_vars=loaded["txt"])
-        except Exception as e:  # tolerate bare txt_vars checkpoints
-            warn(f"falling back to bare txt vars restore: {e}")
-            state = state.replace(txt_vars=restore_state(state.txt_vars,
-                                                         args.sent_weights))
+        state = state.replace(txt_vars=restore_txt_vars(args.sent_weights))
 
     n_params = count_params(state.g_vars["params"]) + sum(
         count_params(v["params"]) for v in state.d_vars)

@@ -69,6 +69,22 @@ def restore_state(template, path: str):
     return serialization.from_bytes(template, data)
 
 
+def restore_txt_vars(path: str):
+    """Load sentence-encoder variables from a txt-pretrain checkpoint
+    ({"optim": ..., "txt": {"params": ...}}, train/txt.py) or a bare variables
+    pickle — template-free, so the (unknown) optimizer structure doesn't matter.
+    Mirrors the reference's whole-object torch.load handoff (train/gan.py:40-42)."""
+    from flax.serialization import msgpack_restore
+
+    with open(path, "rb") as f:
+        raw = msgpack_restore(f.read())
+    if isinstance(raw, dict) and "txt" in raw:
+        raw = raw["txt"]
+    assert isinstance(raw, dict) and "params" in raw, \
+        f"unrecognized sentence checkpoint structure in {path}"
+    return raw
+
+
 def latest_checkpoint(out_dir: str) -> str | None:
     """Most recent iter_* checkpoint in a directory, by iteration number."""
     cands = []
