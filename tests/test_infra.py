@@ -55,6 +55,60 @@ class TestUtils:
         tree = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4)}}
         assert count_params(tree) == 10
 
+    def test_gen_perm_device_is_derangement(self):
+        """The traced mismatch permutation must displace EVERY element (b >= 2) —
+        an identity pairing would train D on a 'mismatched' caption that matches."""
+        import jax
+        from txt2vid_tpu.utils.misc import gen_perm_device
+        for n in range(2, 10):
+            for s in range(25):
+                p = np.asarray(gen_perm_device(jax.random.key(s), n))
+                assert sorted(p.tolist()) == list(range(n))
+                assert not (p == np.arange(n)).any(), (n, s, p)
+
+    def test_gen_perm_device_richer_than_shifts(self):
+        # the distribution must cover non-cyclic-shift derangements (reference
+        # gen_perm draws from all non-identity permutations, util/misc.py:3-8)
+        import jax
+        from txt2vid_tpu.utils.misc import gen_perm_device
+        shifts = {tuple((np.arange(4) + k) % 4) for k in range(1, 4)}
+        seen = {tuple(np.asarray(gen_perm_device(jax.random.key(s), 4)))
+                for s in range(100)}
+        assert seen - shifts, "only global cyclic shifts produced"
+
+    def test_compat_unpickler_loads_reference_vocab(self, tmp_path):
+        """A pickle whose payload claims the reference's module path
+        (txt2vid.data.Vocab) must load into our attribute-compatible Vocab."""
+        import pickle as _pickle
+        import sys
+        import types
+
+        from txt2vid_tpu.data import Vocab
+        from txt2vid_tpu.utils.misc import load_pickle
+
+        class V(Vocab):
+            pass
+
+        V.__module__ = "txt2vid.data"
+        V.__qualname__ = V.__name__ = "Vocab"
+        pkg = types.ModuleType("txt2vid")
+        mod = types.ModuleType("txt2vid.data")
+        mod.Vocab = V
+        sys.modules["txt2vid"] = pkg
+        sys.modules["txt2vid.data"] = mod
+        try:
+            v = V()
+            v.add_word("hello")
+            p = tmp_path / "ref_vocab.pickle"
+            p.write_bytes(_pickle.dumps(v))
+        finally:
+            del sys.modules["txt2vid"], sys.modules["txt2vid.data"]
+
+        loaded = load_pickle(str(p))
+        assert type(loaded) is Vocab
+        assert loaded("hello") == v("hello")
+        assert len(loaded) == len(v)
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
@@ -75,12 +129,150 @@ class TestCheckpoint:
         assert "iter_300" in latest_checkpoint(str(tmp_path))
         assert latest_checkpoint(str(tmp_path / "missing")) is None
 
+    def test_async_checkpointer_queues_latest(self):
+        """Saves issued while one is in flight must not be dropped: the LATEST
+        pending save runs when the in-flight one finishes (a forced-slow save must
+        not halve checkpoint density)."""
+        import threading
+        import time
+
+        from txt2vid_tpu.utils.checkpoint import AsyncCheckpointer
+
+        saved = []
+        release = threading.Event()
+
+        def slow_save(state, path):
+            if not saved:          # first save blocks until released
+                release.wait(timeout=10)
+            saved.append((path, state["step"]))
+
+        ck = AsyncCheckpointer(save_fn=slow_save)
+        assert ck.save({"step": 1}, "ck_1") is True
+        assert ck.save({"step": 2}, "ck_2") is False   # queued
+        assert ck.save({"step": 3}, "ck_3") is False   # supersedes ck_2
+        release.set()
+        ck.wait()
+        paths = [p for p, _ in saved]
+        assert paths == ["ck_1", "ck_3"], paths
+        assert saved[1][1] == 3
+
+    def test_async_checkpointer_snapshot_isolation(self):
+        """The saved state must be a snapshot at save() time, not a live reference
+        (the train step donates the live state's buffers)."""
+        import threading
+
+        from txt2vid_tpu.utils.checkpoint import AsyncCheckpointer
+
+        captured = {}
+        started = threading.Event()
+
+        def save_fn(state, path):
+            started.wait(timeout=10)
+            captured["w"] = np.asarray(state["w"]).copy()
+
+        ck = AsyncCheckpointer(save_fn=save_fn)
+        arr = np.ones(4, np.float32)
+        ck.save({"w": arr}, "snap")
+        arr *= -1          # mutate the "live" buffer after save() returned
+        started.set()
+        ck.wait()
+        np.testing.assert_array_equal(captured["w"], np.ones(4, np.float32))
+
 
 class TestShardedStep:
     def test_dp_mesh_8_devices(self):
         # the dryrun path: full conditional train step over a dp=8 mesh
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+    def test_dp1_vs_dp8_numerical_equivalence(self):
+        """Same global batch, same key: the dp=8 step must produce the same updated
+        params and losses as dp=1 (to float tolerance). Catches silent gradient-
+        reduction bugs (e.g. sum-vs-mean over the dp axis) that 'runs and is finite'
+        checks cannot."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from jax.sharding import Mesh
+
+        from txt2vid_tpu.gan import losses as L
+        from txt2vid_tpu.gan.cond_gan import CondGan
+        from txt2vid_tpu.gan.train_step import TrainConfig, build_train_step, init_state
+        from txt2vid_tpu.models import tganv2
+        from txt2vid_tpu.models.txt import Seq2Seq
+        from txt2vid_tpu.parallel.mesh import (
+            jit_train_step_sharded, shard_batch, shard_train_state)
+
+        vocab_size = 20
+        enc = Seq2Seq(vocab_size=vocab_size, embed_size=8, hidden_size=16,
+                      num_layers=1)
+        gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16,
+                                   num_channels=1, fm_channels=16,
+                                   additional_blocks=(8,), num_frames=4,
+                                   cond_dim=16, with_non_local=False,
+                                   use_pallas=False)
+        discrim = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1),
+                                           num_channels=1, cond_dim=16,
+                                           with_attn=False, use_pallas=False)
+        gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
+        cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True, latent_size=16,
+                          end2end=True)
+        # plain SGD so param deltas ARE the gradients: Adam's first-step update is
+        # lr*sign(g), which amplifies reduction-order noise on ~zero gradients into
+        # full-magnitude sign flips and would mask a real reduction bug anyway
+        optG = optax.sgd(1.0)
+        optD = optax.sgd(1.0)
+
+        b = 16
+        rng = np.random.default_rng(0)
+        batch = {
+            "video": jnp.asarray(rng.standard_normal((b, 4, 16, 16, 1)).clip(-1, 1),
+                                 jnp.float32),
+            "captions": jnp.asarray(rng.integers(3, vocab_size, (b, 6)), jnp.int32),
+            "lengths": jnp.full((b,), 6, jnp.int32),
+        }
+        # host snapshot: the jitted step donates its state argument, and for dp=1
+        # device_put can alias the original buffers
+        state0 = jax.device_get(
+            init_state(gan, jax.random.key(0), batch, optG, optD, cfg))
+        step_fn = build_train_step(gan, L.RSGANLoss(), optG, optD, cfg)
+
+        results = {}
+        for ndev in (1, 8):
+            import jax as _jax
+            mesh = Mesh(np.array(_jax.devices()[:ndev]), ("dp",))
+            step = jit_train_step_sharded(step_fn, mesh)
+            st = shard_train_state(state0, mesh)
+            sb = shard_batch(batch, mesh)
+            new_state, metrics = step(st, sb, jax.random.key(7))
+            results[ndev] = (jax.device_get(new_state), jax.device_get(metrics))
+
+        (s1, m1), (s8, m8) = results[1], results[8]
+        # tolerances: dp=8 changes reduction order, and the (lr=1.0) D update happens
+        # BEFORE the G loss, amplifying that noise through BN denominators; a real
+        # dp-reduction bug (sum vs mean over 8 shards) is an 8x delta — far outside
+        assert m1["loss_d"] == pytest.approx(float(m8["loss_d"]), rel=2e-3)
+        assert m1["loss_g"] == pytest.approx(float(m8["loss_g"]), rel=2e-3)
+        for getter, name in ((lambda s: s.g_vars["params"], "G"),
+                             (lambda s: s.d_vars[0]["params"], "D"),
+                             (lambda s: s.txt_vars["params"], "txt")):
+            d1 = jax.tree_util.tree_map(lambda new, old: np.asarray(new - old),
+                                        getter(s1), getter(state0))
+            d8 = jax.tree_util.tree_map(lambda new, old: np.asarray(new - old),
+                                        getter(s8), getter(state0))
+            leaves1 = jax.tree_util.tree_leaves(d1)
+            leaves8 = jax.tree_util.tree_leaves(d8)
+            assert len(leaves1) == len(leaves8)
+            got_nonzero = False
+            for a, c in zip(leaves1, leaves8):
+                scale = max(np.abs(a).max(), np.abs(c).max(), 1e-12)
+                got_nonzero = got_nonzero or scale > 1e-6
+                # atol floor: leaves whose entire delta is reduction noise (~1e-8)
+                # carry no signal; an 8x sum-vs-mean bug on any real leaf is caught
+                np.testing.assert_allclose(
+                    a, c, rtol=0, atol=max(5e-3 * scale, 1e-6),
+                    err_msg=f"{name} param deltas diverge dp1 vs dp8")
+            assert got_nonzero, f"{name} got no update at all"
 
 
 class TestTxtHandoff:

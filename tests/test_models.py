@@ -253,6 +253,40 @@ class TestTxt:
         assert raw.shape == (2, 5, 50)
         assert syms.shape == (2, 5)
 
+    def test_decode_scan_matches_python_unroll(self):
+        """The lax.scan decode must be numerically identical to a hand unroll of
+        _step (the reference's per-token Python loop, basic.py:85-97)."""
+        model = Seq2Seq(vocab_size=30, embed_size=8, hidden_size=16, num_layers=2)
+        x = jnp.array([[1, 4, 5, 2], [1, 7, 8, 2]], dtype=jnp.int32)
+        lengths = jnp.array([4, 4])
+        variables = model.init(jax.random.key(0), x, lengths=lengths)
+        _, enc_states, _ = model.apply(variables, x, lengths=lengths,
+                                       method=Seq2Seq.encode)
+
+        for teacher_force in (False, True):
+            raw, syms = model.apply(variables, x, initial_hidden=enc_states,
+                                    max_seq_len=6, teacher_force=teacher_force,
+                                    method=Seq2Seq.decode)
+
+            # manual unroll via the bound module's _step
+            bound = model.bind(variables)
+            dec = bound.decoder
+            states = enc_states
+            tok = x[:, 0]
+            raws, preds = [], []
+            for i in range(6):
+                logits, states = dec._step(tok, states)
+                pred = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+                raws.append(logits)
+                preds.append(pred)
+                tok = x[:, min(i, x.shape[1] - 1)] if teacher_force else pred
+            ref_raw = jnp.stack(raws, axis=1)
+            ref_syms = jnp.stack(preds, axis=1)
+
+            np.testing.assert_allclose(np.asarray(raw), np.asarray(ref_raw),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(syms), np.asarray(ref_syms))
+
 
 class TestRemat:
     def test_remat_gen_matches_and_grads(self):

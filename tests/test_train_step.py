@@ -118,3 +118,30 @@ class TestBf16:
         s1, m1 = step(state, batch, jax.random.key(1))
         assert np.isfinite(float(m1["loss_d"])) and np.isfinite(float(m1["loss_g"]))
         assert params_differ(state.g_vars["params"], s1.g_vars["params"])
+
+
+class TestMakeFakeConds:
+    def test_no_fixed_points_any_batch(self):
+        """The mismatched-caption permutation must displace EVERY row for b >= 2,
+        at every scale (reference gen_perm semantics, util/misc.py:3-8)."""
+        from txt2vid_tpu.models import tcwyt as _tcwyt
+        gan = CondGan(gen=_tcwyt.Gen(), discrims=[_tcwyt.VideoDiscrim()],
+                      cond_encoder=object())
+        for b in (2, 3, 5, 8):
+            # rows are distinguishable (row i = constant i)
+            cond0 = jnp.tile(jnp.arange(b, dtype=jnp.float32)[:, None], (1, 4))
+            scales = [cond0, cond0[: max(b // 2, 1)]]
+            for s in range(10):
+                fakes = gan.make_fake_conds(scales, jax.random.key(s))
+                assert fakes[0].shape == scales[0].shape
+                assert fakes[1].shape == scales[1].shape
+                matched = np.asarray(fakes[0][:, 0]) == np.arange(b)
+                assert not matched.any(), (b, s, np.asarray(fakes[0][:, 0]))
+
+    def test_batch_one_degenerates_gracefully(self):
+        from txt2vid_tpu.models import tcwyt as _tcwyt
+        gan = CondGan(gen=_tcwyt.Gen(), discrims=[_tcwyt.VideoDiscrim()],
+                      cond_encoder=object())
+        cond0 = jnp.ones((1, 4))
+        fakes = gan.make_fake_conds([cond0], jax.random.key(0))
+        assert fakes[0].shape == (1, 4)

@@ -110,11 +110,14 @@ class CondGan:
     # ------------------------------------------------------------- loss assembly
 
     def make_fake_conds(self, cond_scales, key):
-        """Mismatched captions: a random cyclic derangement of the scale-0 cond,
-        truncated to each scale's batch (reference cond_gan.py:132-134)."""
+        """Mismatched captions: a uniformly random n-cycle derangement of the scale-0
+        cond (gen_perm_device — every caption displaced, like the reference's gen_perm,
+        util/misc.py:3-8 / cond_gan.py:132-134), truncated to each scale's batch.
+        At batch 1 no derangement exists (the reference's gen_perm would loop forever);
+        the single "mismatched" caption degenerates to the matched one."""
+        from txt2vid_tpu.utils.misc import gen_perm_device
         b0 = cond_scales[0].shape[0]
-        shift = jax.random.randint(key, (), 1, max(b0, 2))
-        fake0 = jnp.roll(cond_scales[0], shift, axis=0)
+        fake0 = cond_scales[0][gen_perm_device(key, b0)]
         return [fake0[: c.shape[0]] for c in cond_scales]
 
     def discrim_forward(self, i, d_vars, real_scales=None, fake_scales=None,

@@ -107,20 +107,25 @@ class RecurrentModel(nn.Module):
             zero = (jnp.zeros((b, per_dir)), jnp.zeros((b, per_dir)))
             initial_hidden = [(zero, zero if self.bi else None)
                               for _ in range(self.num_layers)]
-        states = initial_hidden
-        tok = true_inputs[:, 0]
-        raw, syms = [], []
-        for i in range(max_seq_len):
-            logits, states = self._step(tok, states)
-            pred = jnp.argmax(logits, axis=-1)
-            raw.append(logits)
-            syms.append(pred)
+        # lax.scan over decode steps (one traced step instead of a max_seq_len-deep
+        # Python unroll of the 4-layer bi-LSTM — the reference's per-token loop,
+        # basic.py:85-97, would blow up compile time and program size under jit)
+        def body(mdl, carry, t):
+            tok, states = carry
+            logits, new_states = mdl._step(tok, states)
+            pred = jnp.argmax(logits, axis=-1).astype(tok.dtype)
             if teacher_force:
-                idx = min(i, true_inputs.shape[1] - 1)
-                tok = true_inputs[:, idx]
+                idx = jnp.minimum(t, true_inputs.shape[1] - 1)
+                nxt = jnp.take(true_inputs, idx, axis=1)
             else:
-                tok = pred
-        return jnp.stack(raw, axis=1), jnp.stack(syms, axis=1)
+                nxt = pred
+            return (nxt, new_states), (logits, pred)
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=1)
+        carry0 = (true_inputs[:, 0], initial_hidden)
+        _, (raw, syms) = scan(self, carry0, jnp.arange(max_seq_len))
+        return raw, syms
 
 
 class Seq2Seq(nn.Module):

@@ -37,29 +37,55 @@ def save_state(state, path: str) -> str:
 class AsyncCheckpointer:
     """Background-thread checkpointing: the device->host pull + serialization of a
     multi-GB train state can stall the train loop for minutes on slow transports.
-    At most one save is in flight; a save requested while busy is dropped with a
-    warning (the next period's save will cover it)."""
+    At most one save is in flight; a save requested while one is running is QUEUED
+    (latest-wins, one slot) and started when the in-flight save finishes — so slow
+    storage degrades checkpoint freshness, never checkpoint density to zero."""
 
-    def __init__(self):
+    def __init__(self, save_fn=None):
+        self._save_fn = save_fn or save_state   # injectable for tests
+        self._lock = threading.Lock()
         self._thread = None
+        self._pending = None                     # (state_snapshot, path) | None
 
     def save(self, state, path: str) -> bool:
-        if self._thread is not None and self._thread.is_alive():
-            from txt2vid_tpu.utils.logging import warn
-            warn(f"previous checkpoint save still in flight; skipping {path}")
-            return False
+        """Returns True if the save started immediately, False if queued."""
         # device-side snapshot first: the train step DONATES the live state's
         # buffers, so the background thread must not read them after the next step
-        state = jax.tree_util.tree_map(
+        snap = jax.tree_util.tree_map(
             lambda a: a.copy() if hasattr(a, "copy") else a, state)
-        self._thread = threading.Thread(target=save_state, args=(state, path),
-                                        daemon=True)
+        with self._lock:
+            if self._thread is not None and self._thread.is_alive():
+                if self._pending is not None:
+                    from txt2vid_tpu.utils.logging import warn
+                    warn(f"checkpoint backlog: {self._pending[1]} superseded by {path}")
+                self._pending = (snap, path)
+                return False
+            self._start_locked(snap, path)
+            return True
+
+    def _start_locked(self, state, path):
+        def run():
+            try:
+                self._save_fn(state, path)
+            finally:
+                with self._lock:
+                    if self._pending is not None:
+                        nxt_state, nxt_path = self._pending
+                        self._pending = None
+                        self._start_locked(nxt_state, nxt_path)
+        self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
-        return True
 
     def wait(self):
-        if self._thread is not None:
-            self._thread.join()
+        """Block until every started AND queued save has completed."""
+        while True:
+            with self._lock:
+                t = self._thread
+                idle = (t is None or not t.is_alive()) and self._pending is None
+            if idle:
+                return
+            if t is not None:
+                t.join()
 
 
 def restore_state(template, path: str):
