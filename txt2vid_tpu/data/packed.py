@@ -182,12 +182,16 @@ class PackedVideoDataset:
     batch assembly is one native call + one vectorized numpy transform."""
 
     def __init__(self, packed_path, vocab=None, captions=None, num_frames=16,
-                 frame_size=None, num_channels=3, num_threads=8):
+                 frame_size=None, num_channels=3, num_threads=8, normalize=True,
+                 random_frames=0, seed=0):
         self.reader = PackedReader(packed_path, num_threads=num_threads)
         self.vocab = vocab
         self.num_frames = num_frames
         self.frame_size = frame_size
         self.num_channels = num_channels
+        self.normalize = normalize           # False -> keep uint8 for host->device
+        self.random_frames = bool(random_frames)
+        self.rng = np.random.default_rng(seed)
 
         ids_path = Path(packed_path).with_suffix(".ids.pickle")
         id_map = None
@@ -219,12 +223,14 @@ class PackedVideoDataset:
     def get_batch(self, idxs, max_caption_len=32):
         vids = np.asarray([self.video_idx[i] for i in idxs], dtype=np.int64)
         fidx = np.stack([
-            pick_frames(self.reader.video_num_frames(int(v)), self.num_frames)
+            pick_frames(self.reader.video_num_frames(int(v)), self.num_frames,
+                        random=self.random_frames, rng=self.rng)
             for v in vids])
         raw = self.reader.read_batch(vids, fidx)
         b, t = raw.shape[:2]
         frames = transform_frames(raw.reshape((-1,) + raw.shape[2:]),
-                                  self.frame_size, self.num_channels)
+                                  self.frame_size, self.num_channels,
+                                  normalize=self.normalize)
         frames = frames.reshape((b, t) + frames.shape[1:])
         batch = {"video": frames}
         if self.vocab is not None and self.captions[0] is not None:
@@ -240,8 +246,24 @@ class PackedVideoDataset:
 
 
 def packed_dataset(data=None, vocab=None, anno=None, num_frames=16, frame_size=None,
-                   num_channels=3, **_):
-    """Config-surface factory (like my_dataset, for packed caches)."""
+                   num_channels=3, normalize=True, random_frames=0, num_threads=8,
+                   **_):
+    """Config-surface factory (like my_dataset, for packed caches). Reachable from
+    the training CLI via --data '{"class": "txt2vid_tpu.data.packed.packed_dataset",
+    ...}' — get_loader dispatches batch-level datasets to BatchLoader."""
     return PackedVideoDataset(data, vocab=vocab, captions=anno,
                               num_frames=num_frames, frame_size=frame_size,
-                              num_channels=num_channels)
+                              num_channels=num_channels, normalize=normalize,
+                              random_frames=random_frames, num_threads=num_threads)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Pack a directory of per-video .npy caches into one T2VC file")
+    parser.add_argument("--dir", required=True, help="directory of <vid>.npy caches")
+    parser.add_argument("--out", required=True, help="output .t2vc path")
+    args = parser.parse_args()
+    id_map = pack_directory(args.dir, args.out)
+    status(f"packed {len(id_map)} videos -> {args.out}")

@@ -154,6 +154,11 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                                   config.subsample_input)
 
     def train_step(state, batch, key):
+        # Per-step key derived ON DEVICE from the step counter: the host loop passes
+        # the SAME base key every iteration, so it never dispatches a per-iteration
+        # random-split program (each tiny dispatch is a full RPC on remote
+        # transports — a large share of the round-1 CLI-vs-bench step-time gap).
+        key = jax.random.fold_in(key, state.step)
         x = batch["video"]
         if x.dtype == jnp.uint8:
             # uint8 host transport; reference-normalization on device

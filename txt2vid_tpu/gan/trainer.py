@@ -130,9 +130,13 @@ def test(gan=None, state=None, num_samples=1, dataset=None, params=None, vocab=N
 
 
 def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
-          params=None, vocab=None, seed: int = 0, on_iteration=None):
+          params=None, vocab=None, seed: int = 0, on_iteration=None,
+          base_key=None):
     """Epoch loop (reference trainer.py:111-333). `train_step` is the compiled step
-    from gan/train_step.py; `dataset` yields device-ready batch dicts."""
+    from gan/train_step.py; `dataset` yields device-ready batch dicts. `base_key`
+    (optionally pre-placed on the mesh) is passed to the step UNCHANGED every
+    iteration — the step folds in its own step counter, so the hot loop performs
+    zero per-iteration host-side key operations."""
     ensure_exists(params.out)
     ensure_exists(params.out_samples)
 
@@ -148,6 +152,8 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     data_watch, iter_watch = Stopwatch(), Stopwatch()
 
     key = jax.random.key(seed)
+    if base_key is None:
+        base_key = jax.random.fold_in(key, 0x5eed)
     iteration = int(state.step)
 
     checkpointer = AsyncCheckpointer()
@@ -159,7 +165,12 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     pending = []  # (iteration, device_metrics)
 
     def drain_pending():
-        for it, m in pending:
+        if not pending:
+            return
+        # ONE batched transfer for all pending metrics (per-value fetches are a
+        # round-trip each on remote transports)
+        host = jax.device_get([m for _, m in pending])
+        for (it, _), m in zip(pending, host):
             ld, lg = float(m["loss_d"]), float(m["loss_g"])
             discrim_loss.update(ld)
             gen_loss.update(lg)
@@ -177,8 +188,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             avg_data_load.update(data_watch.stop())
             iteration += 1
 
-            key, k = jax.random.split(key)
-            state, metrics = train_step(state, batch, k)
+            state, metrics = train_step(state, batch, base_key)
             pending.append((iteration, metrics))
 
             first = iteration == 1

@@ -41,6 +41,30 @@ def shard_train_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 
+def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp",
+                     transform=None):
+    """Asynchronously place host batches onto the mesh (batch dim sharded over
+    `axis_name`), keeping `depth` batches in flight ahead of the consumer.
+
+    jax.device_put returns immediately; by the time the train step consumes a
+    yielded batch its H2D copy has overlapped with the previous step's compute —
+    the role of the reference's CUDA side-stream data_prefetcher
+    (data/__init__.py:131-156), without a synchronous placement in the hot loop."""
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(batch):
+        if transform is not None:
+            batch = transform(batch)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    buf = []
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > depth:
+            yield buf.pop(0)
+    yield from buf
+
+
 def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp"):
     """jit the train step with explicit in/out shardings: state replicated, batch
     dp-sharded, key replicated. XLA turns the loss/grad means into psum over ICI."""

@@ -29,7 +29,7 @@ from txt2vid_tpu.gan.losses import MixedGanLoss
 from txt2vid_tpu.gan.train_step import TrainConfig, build_train_step, init_state
 from txt2vid_tpu.gan import trainer
 from txt2vid_tpu.parallel.mesh import make_mesh, jit_train_step_sharded, \
-    shard_train_state, shard_batch
+    shard_train_state, shard_batch, prefetch_to_mesh, replicated
 from txt2vid_tpu.train.setup import setup
 from txt2vid_tpu.utils import status, warn, load_pickle, count_params
 from txt2vid_tpu.utils.checkpoint import restore_state
@@ -140,16 +140,17 @@ def main(args):
     jitted = jit_train_step_sharded(step_fn, mesh)
     state = shard_train_state(state, mesh)
 
-    def device_loader():
-        for batch in loader:
-            if args.img_model and not args.data_is_imgs:
-                batch = dict(batch)
-                batch["video"] = batch["video"][:, 0]
-            yield shard_batch(batch, mesh)
+    def img_fix(batch):
+        if args.img_model and not args.data_is_imgs:
+            batch = dict(batch)
+            batch["video"] = batch["video"][:, 0]
+        return batch
 
     class LoaderAdapter:
         def __iter__(self):
-            return device_loader()
+            # async sharded placement, >=2 batches in flight ahead of the step
+            return prefetch_to_mesh(iter(loader), mesh, depth=2,
+                                    transform=img_fix)
 
         def __len__(self):
             return len(loader)
@@ -158,9 +159,12 @@ def main(args):
         trainer.test(gan=gan, state=state, num_samples=args.num_samples,
                      dataset=LoaderAdapter(), params=args, vocab=vocab)
     else:
+        # base key placed on the mesh ONCE; the compiled step folds in its own
+        # step counter, so the hot loop does no per-iteration key work at all
+        base_key = jax.device_put(jax.random.key(seed), replicated(mesh))
         trainer.train(gan=gan, state=state, train_step=jitted,
                       num_epoch=args.epochs, dataset=LoaderAdapter(), params=args,
-                      vocab=vocab, seed=seed)
+                      vocab=vocab, seed=seed, base_key=base_key)
 
 
 def build_parser():
