@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # reddit-videos stretch config (BASELINE.json): conditional TGANv2 at 128px / 32
 # frames, bf16 compute. At this scale the non-local attention spans T*H*W = 32*64*64
-# tokens at the penultimate scale; the fused Pallas kernel keeps the map out of HBM,
-# and ops/ring_attention.py provides the sequence-sharded variant for multi-chip.
+# tokens at the penultimate scale; the fused Pallas kernel keeps the map out of HBM.
+# On a multi-chip slice, add EXTRA="--sp <k>" to ring-shard the attention tokens over
+# k chips of the mesh (ops/ring_attention.py via the sequence_parallel dispatch).
 set -e
 DATA=${DATA:-config/reddit_videos.json}
 ANNO=${ANNO:-./reddit_videos/annos.pickle}

@@ -145,6 +145,66 @@ class TestPallasInterpret:
         out = fused_attention(theta, phi, g, block_n=8, block_m=4, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
+    def test_lse_output(self):
+        from txt2vid_tpu.ops.pallas_attention import fused_attention
+        k = jax.random.key(5)
+        kt, kp, kg = jax.random.split(k, 3)
+        theta = jax.random.normal(kt, (2, 32, 4))
+        phi = jax.random.normal(kp, (2, 16, 4))
+        g = jax.random.normal(kg, (2, 16, 8))
+        _, lse = fused_attention(theta, phi, g, block_n=16, block_m=8,
+                                 interpret=True, return_lse=True)
+        logits = jnp.einsum("bnd,bmd->bnm", theta, phi)
+        ref = jax.scipy.special.logsumexp(logits, axis=-1)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref), atol=1e-5)
+
+    def test_flash_backward_matches_xla_vjp(self):
+        """The Pallas backward kernels (dtheta / dphi / dg from saved lse) must
+        match jax.vjp through the XLA reference — training through the fused
+        kernel never materializes the (N, M) map in HBM."""
+        from txt2vid_tpu.ops.pallas_attention import (fused_attention,
+                                                      fused_attention_bwd)
+        k = jax.random.key(6)
+        kt, kp, kg, ko = jax.random.split(k, 4)
+        theta = jax.random.normal(kt, (2, 64, 8))
+        phi = jax.random.normal(kp, (2, 32, 8))
+        g = jax.random.normal(kg, (2, 32, 12))
+        do = jax.random.normal(ko, (2, 64, 12))
+
+        o, lse = fused_attention(theta, phi, g, block_n=16, block_m=8,
+                                 interpret=True, return_lse=True)
+        dt, dp, dg = fused_attention_bwd(theta, phi, g, o, lse, do,
+                                         block_n=16, block_m=8, interpret=True)
+        _, vjp = jax.vjp(attention_core, theta, phi, g)
+        rt, rp, rg = vjp(do)
+        np.testing.assert_allclose(np.asarray(dt), np.asarray(rt), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(rp), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dg), np.asarray(rg), atol=2e-4)
+
+    def test_custom_vjp_end_to_end(self):
+        """jax.grad through attention_core_fused (interpret mode) vs the XLA path."""
+        from txt2vid_tpu.ops import attention as A
+        k = jax.random.key(7)
+        kt, kp, kg = jax.random.split(k, 3)
+        theta = jax.random.normal(kt, (1, 32, 4))
+        phi = jax.random.normal(kp, (1, 16, 4))
+        g = jax.random.normal(kg, (1, 16, 8))
+
+        def loss(fn, t, p, gg):
+            return jnp.sum(jnp.tanh(fn(t, p, gg)))
+
+        prev = A.INTERPRET
+        A.INTERPRET = True
+        try:
+            gf = jax.grad(lambda *a: loss(A.attention_core_fused, *a),
+                          argnums=(0, 1, 2))(theta, phi, g)
+        finally:
+            A.INTERPRET = prev
+        gr = jax.grad(lambda *a: loss(attention_core, *a),
+                      argnums=(0, 1, 2))(theta, phi, g)
+        for a, c in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)
+
 
 class TestNoPallasOverride:
     def test_context_forces_xla_path(self):

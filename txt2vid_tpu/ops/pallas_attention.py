@@ -27,7 +27,8 @@ def _pick_block(n: int, target: int) -> int:
     return b
 
 
-def _attn_kernel(theta_ref, phi_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, n_m_blocks):
+def _attn_kernel(theta_ref, phi_ref, g_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                 *, n_m_blocks):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -64,12 +65,14 @@ def _attn_kernel(theta_ref, phi_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, n_m
     @pl.when(j == n_m_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        # log-sum-exp of each row's logits: the backward's softmax re-normalizer
+        lse_ref[0] = (m_ref[:, :1] + jnp.log(l_ref[:, :1]))[:, 0]
 
 
 def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
                     block_n: int = 512, block_m: int = 1024,
-                    interpret: bool = False) -> jnp.ndarray:
-    """(B, N, d), (B, M, d), (B, M, dv) -> (B, N, dv)."""
+                    interpret: bool = False, return_lse: bool = False):
+    """(B, N, d), (B, M, d), (B, M, dv) -> (B, N, dv) [, lse (B, N) f32]."""
     b, n, d = theta.shape
     _, m, _ = phi.shape
     dv = g.shape[-1]
@@ -81,7 +84,7 @@ def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
     grid = (b, n // bn, n_m_blocks)
     kernel = functools.partial(_attn_kernel, n_m_blocks=n_m_blocks)
 
-    return pl.pallas_call(
+    o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -89,8 +92,14 @@ def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
             pl.BlockSpec((1, bm, d), lambda bi, i, j: (bi, j, 0)),
             pl.BlockSpec((1, bm, dv), lambda bi, i, j: (bi, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bn, dv), lambda bi, i, j: (bi, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, dv), g.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bn, dv), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, bn), lambda bi, i, j: (bi, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, dv), g.dtype),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bn, _LANES), jnp.float32),   # running max
             pltpu.VMEM((bn, _LANES), jnp.float32),   # running sum
@@ -103,3 +112,149 @@ def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
         ),
         interpret=interpret,
     )(theta, phi, g)
+    return (o, lse) if return_lse else o
+
+
+# ---------------------------------------------------------------------------
+# Flash-style backward kernels. Neither materializes the (N, M) map in HBM:
+# each re-forms one (block_n, block_m) logit tile in VMEM from the saved lse.
+#   dtheta = ds @ phi,  dphi = ds^T @ theta,  dg = p^T @ do
+#   with p = exp(s - lse),  ds = p * (do @ g^T - delta),  delta = rowsum(do * o).
+# ---------------------------------------------------------------------------
+
+def _attn_bwd_dq_kernel(theta_ref, phi_ref, g_ref, do_ref, lse_ref, delta_ref,
+                        dtheta_ref, acc_ref, *, n_m_blocks):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    theta = theta_ref[0]                                          # (BN, d)
+    phi = phi_ref[0]                                              # (BM, d)
+    g = g_ref[0]                                                  # (BM, dv)
+    do = do_ref[0]                                                # (BN, dv)
+    lse = lse_ref[0][:, None]                                     # (BN, 1)
+    delta = delta_ref[0][:, None]                                 # (BN, 1)
+
+    s = jax.lax.dot_general(theta, phi, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (BN, BM)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, g, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BN, BM)
+    ds = p * (dp - delta)
+    acc_ref[:] += jax.lax.dot_general(
+        ds.astype(phi.dtype), phi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # (BN, d)
+
+    @pl.when(j == n_m_blocks - 1)
+    def _finalize():
+        dtheta_ref[0] = acc_ref[:].astype(dtheta_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(theta_ref, phi_ref, g_ref, do_ref, lse_ref, delta_ref,
+                         dphi_ref, dg_ref, dphi_acc, dg_acc, *, n_n_blocks):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dphi_acc[:] = jnp.zeros_like(dphi_acc)
+        dg_acc[:] = jnp.zeros_like(dg_acc)
+
+    theta = theta_ref[0]                                          # (BN, d)
+    phi = phi_ref[0]                                              # (BM, d)
+    g = g_ref[0]                                                  # (BM, dv)
+    do = do_ref[0]                                                # (BN, dv)
+    lse = lse_ref[0][:, None]                                     # (BN, 1)
+    delta = delta_ref[0][:, None]                                 # (BN, 1)
+
+    s = jax.lax.dot_general(theta, phi, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (BN, BM)
+    p = jnp.exp(s - lse)
+    dg_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # (BM, dv)
+
+    dp = jax.lax.dot_general(do, g, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BN, BM)
+    ds = p * (dp - delta)
+    dphi_acc[:] += jax.lax.dot_general(
+        ds.astype(theta.dtype), theta, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # (BM, d)
+
+    @pl.when(i == n_n_blocks - 1)
+    def _finalize():
+        dphi_ref[0] = dphi_acc[:].astype(dphi_ref.dtype)
+        dg_ref[0] = dg_acc[:].astype(dg_ref.dtype)
+
+
+def fused_attention_bwd(theta, phi, g, o, lse, do,
+                        block_n: int = 256, block_m: int = 512,
+                        interpret: bool = False):
+    """Flash backward: (residuals, do) -> (dtheta, dphi, dg), no (N, M) in HBM."""
+    b, n, d = theta.shape
+    _, m, _ = phi.shape
+    dv = g.shape[-1]
+
+    bn = _pick_block(n, block_n)
+    bm = _pick_block(m, block_m)
+    n_n_blocks = n // bn
+    n_m_blocks = m // bm
+
+    # delta = rowsum(do * o): cheap elementwise XLA, fused into do's producer
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    dtheta = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, n_m_blocks=n_m_blocks),
+        grid=(b, n_n_blocks, n_m_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bn, d), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, bm, d), lambda bi, i, j: (bi, j, 0)),
+            pl.BlockSpec((1, bm, dv), lambda bi, i, j: (bi, j, 0)),
+            pl.BlockSpec((1, bn, dv), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, bn), lambda bi, i, j: (bi, i)),
+            pl.BlockSpec((1, bn), lambda bi, i, j: (bi, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bn, d), lambda bi, i, j: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), theta.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * n * m * d,
+            bytes_accessed=4 * b * (2 * n * d + m * d + n * dv + m * dv),
+            transcendentals=b * n * m,
+        ),
+        interpret=interpret,
+    )(theta, phi, g, do, lse, delta)
+
+    dphi, dg = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, n_n_blocks=n_n_blocks),
+        grid=(b, n_m_blocks, n_n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bn, d), lambda bi, jm, i: (bi, i, 0)),
+            pl.BlockSpec((1, bm, d), lambda bi, jm, i: (bi, jm, 0)),
+            pl.BlockSpec((1, bm, dv), lambda bi, jm, i: (bi, jm, 0)),
+            pl.BlockSpec((1, bn, dv), lambda bi, jm, i: (bi, i, 0)),
+            pl.BlockSpec((1, bn), lambda bi, jm, i: (bi, i)),
+            pl.BlockSpec((1, bn), lambda bi, jm, i: (bi, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, d), lambda bi, jm, i: (bi, jm, 0)),
+            pl.BlockSpec((1, bm, dv), lambda bi, jm, i: (bi, jm, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, d), phi.dtype),
+            jax.ShapeDtypeStruct((b, m, dv), g.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, d), jnp.float32),
+            pltpu.VMEM((bm, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * n * m * (d + dv) // 2,
+            bytes_accessed=4 * b * (n * d + 2 * m * d + n * dv + 2 * m * dv),
+            transcendentals=b * n * m,
+        ),
+        interpret=interpret,
+    )(theta, phi, g, do, lse, delta)
+
+    return dtheta, dphi, dg

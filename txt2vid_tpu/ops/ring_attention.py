@@ -1,14 +1,21 @@
 """Ring attention: sequence-sharded non-local attention over the device mesh.
 
-The stretch path for long-clip / high-resolution configs (SURVEY.md §2.8, §5): when
-T*H*W grows past what a single chip should hold (32-frame 128px reddit-videos), the
-attention tokens are sharded over a mesh axis and the key/value blocks rotate around
-the ring with `jax.lax.ppermute` (XLA lowers this to ICI neighbor exchanges), each
-device maintaining flash-style online-softmax statistics. Semantics are identical to
-ops.attention.attention_core (unscaled logits, as the reference non-local blocks).
+The long-clip / high-resolution path (SURVEY.md §2.8, §5): when T*H*W grows past
+what a single chip should hold (32-frame 128px reddit-videos), the attention tokens
+are sharded over a mesh axis and the key/value blocks rotate around the ring with
+`jax.lax.ppermute` (XLA lowers this to ICI neighbor exchanges), each device merging
+per-block flash statistics (o, lse). Semantics are identical to
+ops.attention.attention_core (unscaled logits, as the reference non-local blocks,
+models/layers.py:39-68); models reach this path through the
+ops.attention.sequence_parallel trace-time context.
 
 Layout: theta (B, N, d), phi (B, M, d), g (B, M, dv), all sharded on their token axis
 over `axis_name`; output (B, N, dv) sharded like theta.
+
+Per-rotation block math runs either through the fused Pallas kernel (TPU — the
+(N_loc, M_loc) tile never hits HBM) or a stable two-pass XLA softmax (CPU/tests);
+partial results merge by log-sum-exp:
+    lse = logaddexp(lse_a, lse_b);  o = o_a*exp(lse_a-lse) + o_b*exp(lse_b-lse).
 """
 
 import functools
@@ -18,52 +25,77 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _local_ring_attention(theta, phi, g, axis_name: str):
+def _block_attention(theta, phi_c, g_c, use_pallas: bool):
+    """One (N_loc, M_loc) attention block -> (o_unnormalized-by-global-lse, lse).
+    Returns o in f32 normalized by this block's own lse, plus that lse."""
+    if use_pallas:
+        from txt2vid_tpu.ops.pallas_attention import fused_attention
+        o, lse = fused_attention(theta, phi_c, g_c, return_lse=True)
+        return o.astype(jnp.float32), lse
+    s = jnp.einsum("bnd,bmd->bnm", theta, phi_c,
+                   preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bnm,bmv->bnv", p.astype(g_c.dtype), g_c,
+                   preferred_element_type=jnp.float32) / l
+    return o, (m + jnp.log(l))[..., 0]
+
+
+def _merge(o_a, lse_a, o_b, lse_b):
+    lse = jnp.logaddexp(lse_a, lse_b)
+    wa = jnp.exp(lse_a - lse)[..., None]
+    wb = jnp.exp(lse_b - lse)[..., None]
+    return o_a * wa + o_b * wb, lse
+
+
+def _local_ring_attention(theta, phi, g, axis_name: str, use_pallas: bool,
+                          varying_axes=()):
     """Per-shard body: N_local queries attend over all M as KV blocks rotate."""
     n_dev = jax.lax.axis_size(axis_name)
-    b, n_loc, d = theta.shape
+    b, n_loc, _ = theta.shape
     dv = g.shape[-1]
 
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def body(i, carry):
-        m_run, l_run, acc, phi_c, g_c = carry
-        s = jnp.einsum("bnd,bmd->bnm", theta, phi_c,
-                       preferred_element_type=jnp.float32)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_run, m_cur)
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_run - m_new)
-        l_new = l_run * corr + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jnp.einsum("bnm,bmv->bnv", p.astype(g_c.dtype), g_c,
-                        preferred_element_type=jnp.float32)
-        acc = acc * corr + pv
-        # rotate KV to the next device; skip the final (wasted) hop
+        o_run, lse_run, phi_c, g_c = carry
+        o_b, lse_b = _block_attention(theta, phi_c, g_c, use_pallas)
+        o_run, lse_run = _merge(o_run, lse_run, o_b, lse_b)
+        # rotate KV to the next device (the final hop restores the original shard)
         phi_c = jax.lax.ppermute(phi_c, axis_name, perm)
         g_c = jax.lax.ppermute(g_c, axis_name, perm)
-        return m_new, l_new, acc, phi_c, g_c
+        return o_run, lse_run, phi_c, g_c
 
-    # initial stats must be typed as varying over the mesh axis (each shard owns its
-    # own running softmax state) — fresh constants default to unvarying
+    # initial stats must be typed as varying over every sharded mesh axis (each
+    # shard owns its own running softmax state) — fresh constants default to
+    # unvarying, which would mismatch the loop-body outputs
     def varying(x):
-        return jax.lax.pcast(x, (axis_name,), to="varying")
+        return jax.lax.pcast(x, (axis_name,) + tuple(varying_axes), to="varying")
 
     init = (
-        varying(jnp.full((b, n_loc, 1), -jnp.inf, jnp.float32)),
-        varying(jnp.zeros((b, n_loc, 1), jnp.float32)),
         varying(jnp.zeros((b, n_loc, dv), jnp.float32)),
+        varying(jnp.full((b, n_loc), -jnp.inf, jnp.float32)),
         phi, g,
     )
-    m_run, l_run, acc, _, _ = jax.lax.fori_loop(0, n_dev, body, init)
-    return (acc / l_run).astype(g.dtype)
+    o_run, _, _, _ = jax.lax.fori_loop(0, n_dev, body, init)
+    return o_run.astype(g.dtype)
 
 
-def ring_attention(theta, phi, g, mesh: Mesh, axis_name: str = "sp"):
-    """Sequence-sharded softmax(theta @ phi^T) @ g over `axis_name` of `mesh`."""
+def ring_attention(theta, phi, g, mesh: Mesh, axis_name: str = "sp",
+                   use_pallas: bool = False, batch_axis: str | None = None):
+    """Sequence-sharded softmax(theta @ phi^T) @ g over `axis_name` of `mesh`.
+    `batch_axis` additionally shards the leading batch dim (dp x sp meshes) — without
+    it a dp-sharded activation would be all-gathered at the shard_map boundary."""
+    if batch_axis is not None and theta.shape[0] % mesh.shape[batch_axis] != 0:
+        batch_axis = None
+    spec = P(batch_axis, axis_name, None)
     fn = jax.shard_map(
-        functools.partial(_local_ring_attention, axis_name=axis_name),
+        functools.partial(_local_ring_attention, axis_name=axis_name,
+                          use_pallas=use_pallas,
+                          varying_axes=(batch_axis,) if batch_axis else ()),
         mesh=mesh,
-        in_specs=(P(None, axis_name, None),) * 3,
-        out_specs=P(None, axis_name, None),
+        in_specs=(spec,) * 3,
+        out_specs=spec,
     )
     return fn(theta, phi, g)

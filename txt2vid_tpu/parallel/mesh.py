@@ -13,10 +13,17 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
+def make_mesh(n_devices: int | None = None, axis_name: str = "dp",
+              sp: int = 1) -> Mesh:
+    """dp mesh, or a (dp, sp) mesh when sp > 1 — the sequence-parallel axis feeds
+    ops.attention.sequence_parallel / ring attention for long-clip configs."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if sp > 1:
+        assert len(devices) % sp == 0, f"{len(devices)} devices not divisible by sp={sp}"
+        return Mesh(np.array(devices).reshape(len(devices) // sp, sp),
+                    (axis_name, "sp"))
     return Mesh(np.array(devices), (axis_name,))
 
 

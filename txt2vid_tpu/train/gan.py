@@ -135,9 +135,23 @@ def main(args):
     losses = MixedGanLoss(g_loss=create_object(args.G_loss),
                           d_loss=create_object(args.D_loss))
 
-    mesh = make_mesh()
+    mesh = make_mesh(sp=args.sp)
+    if args.sp > 1:
+        # trace-time dispatch: non-local attention runs ring-sharded over the sp
+        # axis (ops/ring_attention.py); everything else stays dp-sharded
+        from txt2vid_tpu.ops.attention import sequence_parallel
+        import contextlib
+        sp_ctx = lambda: sequence_parallel(mesh, "sp")
+    else:
+        import contextlib
+        sp_ctx = contextlib.nullcontext
     step_fn = build_train_step(gan, losses, optG, optD, config)
-    jitted = jit_train_step_sharded(step_fn, mesh)
+    jitted_raw = jit_train_step_sharded(step_fn, mesh)
+
+    def jitted(*a):
+        with sp_ctx():
+            return jitted_raw(*a)
+
     state = shard_train_state(state, mesh)
 
     def img_fix(batch):
@@ -209,6 +223,10 @@ def build_parser():
     parser.add_argument('--sgd', action='store_true', default=False)
     parser.add_argument('--bf16', action='store_true', default=False,
                         help='bfloat16 compute dtype for G/D (params stay f32)')
+    parser.add_argument('--sp', type=int, default=1,
+                        help='sequence-parallel mesh axis size: non-local '
+                             'attention tokens ring-shard over ICI (long-clip / '
+                             'high-res configs); devices = dp * sp')
     parser.add_argument('--uint8_input', action='store_true', default=True,
                         help='ship video batches as uint8, normalize on device')
     parser.add_argument('--no_uint8_input', dest='uint8_input',
