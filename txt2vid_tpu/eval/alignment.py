@@ -1,0 +1,201 @@
+"""Caption-video alignment metric for the synthetic moving-digit dataset.
+
+The reference's headline capability is conditional generation whose samples MATCH
+their captions (/root/reference/README.md:43-62 conditional moving-MNIST grids);
+the reference only ever verified this visually (thesis.tex:559). The synthetic
+grammar makes it machine-checkable: the four motion classes
+("left and right" / "right and left" / "top and bottom" / "bottom and top",
+data/synthetic.py caption grammar mirroring reference synthetic/generate.py:59-191)
+are recoverable from the brightness-centroid track of a video — motion axis from
+the track's dominant variance, direction from the initial displacement (clips
+always start at the caption's first-named endpoint).
+
+`alignment_report` generates videos from every motion class (k samples per class,
+fresh z), classifies the generated motion, and reports accuracy against the
+conditioning caption. Chance = 25% (4-way); axis-only chance = 50%.
+"""
+
+import argparse
+
+import numpy as np
+
+MOTION_CLASSES = ("left and right", "right and left",
+                  "top and bottom", "bottom and top")
+
+
+def caption_motion_class(sentence: str):
+    s = sentence.lower()
+    for i, m in enumerate(MOTION_CLASSES):
+        if m in s:
+            return i
+    return None
+
+
+def centroid_track(video: np.ndarray) -> np.ndarray:
+    """(T, H, W, C) video -> (T, 2) brightness-centroid track (x, y)."""
+    v = np.asarray(video, np.float32)
+    if v.max() > 2.0:          # uint8-ish
+        bright = v[..., 0] / 255.0
+    else:                      # [-1, 1]
+        bright = (v[..., 0] + 1.0) / 2.0
+    t, h, w = bright.shape
+    # emphasize the digit over background noise in generated samples
+    flat = bright.reshape(t, -1)
+    thresh = np.maximum(0.25, flat.mean(1, keepdims=True)
+                        + 0.5 * flat.std(1, keepdims=True))
+    wgt = np.clip(flat - thresh, 0.0, None).reshape(t, h, w)
+    wgt_sum = wgt.sum(axis=(1, 2)) + 1e-8
+    xs = np.arange(w, dtype=np.float32)
+    ys = np.arange(h, dtype=np.float32)
+    cx = (wgt.sum(axis=1) * xs).sum(axis=1) / wgt_sum
+    cy = (wgt.sum(axis=2) * ys).sum(axis=1) / wgt_sum
+    return np.stack([cx, cy], axis=1)
+
+
+def classify_motion(video: np.ndarray):
+    """-> (class index into MOTION_CLASSES, axis_only index 0=horizontal 1=vertical)."""
+    track = centroid_track(video)
+    cx, cy = track[:, 0], track[:, 1]
+    horizontal = cx.var() > cy.var()
+    line = cx if horizontal else cy
+    d = line - line[0]
+    # initial direction: first displacement that clears noise (clips start at the
+    # caption's first endpoint and move toward the second)
+    sig = np.nonzero(np.abs(d) > max(1.0, 0.15 * (line.max() - line.min())))[0]
+    sign = d[sig[0]] > 0 if len(sig) else (d[np.abs(d).argmax()] > 0)
+    if horizontal:
+        cls = 0 if sign else 1           # left->right vs right->left
+    else:
+        cls = 2 if sign else 3           # top->bottom vs bottom->top
+    return cls, (0 if horizontal else 1)
+
+
+def classify_batch(videos) -> np.ndarray:
+    return np.asarray([classify_motion(np.asarray(v))[0] for v in videos])
+
+
+def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
+                     seed: int = 0, batch_size: int = 40):
+    """Generate k_per_class videos per motion class (digits cycled, fresh z each),
+    classify, and report 4-way + axis-only accuracy with a confusion matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from txt2vid_tpu.data import encode_caption
+    from txt2vid_tpu.gan.trainer import sample
+
+    digits = list(digits)
+    caps, labels = [], []
+    for ci, motion in enumerate(MOTION_CLASSES):
+        for k in range(k_per_class):
+            d = digits[k % len(digits)]
+            caps.append(f"digit {d} is {motion}.")
+            labels.append(ci)
+    labels = np.asarray(labels)
+
+    enc = [encode_caption(vocab, c) for c in caps]
+    maxlen = max(len(c) for c in enc)
+    toks = np.zeros((len(enc), maxlen), np.int32)
+    lengths = np.asarray([len(c) for c in enc], np.int32)
+    for i, c in enumerate(enc):
+        toks[i, :len(c)] = c
+
+    key = jax.random.key(seed)
+    preds = []
+    for i in range(0, len(caps), batch_size):
+        tb = jnp.asarray(toks[i:i + batch_size])
+        lb = jnp.asarray(lengths[i:i + batch_size])
+        cond = gan.encode(state.txt_vars, tb, lb)
+        key, kz = jax.random.split(key)
+        fakes = sample(gan, state, tb.shape[0], kz, cond=cond)
+        preds.append(classify_batch(np.asarray(fakes[-1])))
+    preds = np.concatenate(preds)
+
+    conf = np.zeros((4, 4), np.int64)
+    for l, p in zip(labels, preds):
+        conf[l, p] += 1
+    axis = lambda c: 0 if c < 2 else 1
+    acc = float((preds == labels).mean())
+    axis_acc = float(np.mean([axis(p) == axis(l) for p, l in zip(preds, labels)]))
+    return {"accuracy_4way": acc, "accuracy_axis": axis_acc,
+            "chance_4way": 0.25, "chance_axis": 0.5,
+            "n": int(len(labels)), "confusion": conf.tolist()}
+
+
+def real_data_ceiling(video_dir, sent_pickle, n: int = 200, num_frames: int = 16):
+    """Classifier sanity ceiling: accuracy of classify_motion on REAL clips vs
+    their own captions (upper bound for the generated-sample metric)."""
+    from txt2vid_tpu.data import load_video_frames
+    from txt2vid_tpu.utils.misc import load_pickle
+    from pathlib import Path
+
+    sents = load_pickle(sent_pickle)
+    ok = total = 0
+    for vid, caps in list(sents.items())[:n]:
+        cls = caption_motion_class(caps[0])
+        if cls is None:
+            continue
+        v = load_video_frames(Path(video_dir) / str(vid), num_frames=num_frames,
+                              num_channels=1)
+        pred, _ = classify_motion(v)
+        ok += int(pred == cls)
+        total += 1
+    return {"real_accuracy_4way": ok / max(total, 1), "n": total}
+
+
+def main(args):
+    import jax.numpy as jnp
+    import jax
+    import json
+    import optax
+
+    from txt2vid_tpu.config import create_object
+    from txt2vid_tpu.gan.cond_gan import CondGan
+    from txt2vid_tpu.gan.train_step import TrainConfig, init_state_abstract
+    from txt2vid_tpu.utils import load_pickle, status
+    from txt2vid_tpu.utils.checkpoint import restore_state
+
+    vocab = load_pickle(args.vocab)
+    txt_encoder = create_object(args.sent or "txt2vid_tpu.models.txt.Seq2Seq",
+                                vocab_size=len(vocab))
+    gen = create_object(args.G, cond_dim=txt_encoder.encoding_size)
+    discrims = [create_object(d, cond_dim=txt_encoder.encoding_size)
+                for d in args.D]
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+
+    config = TrainConfig(frame_sizes=tuple(args.frame_sizes),
+                         latent_size=gan.gen.latent_size)
+    batch = {"video": jnp.zeros((2, args.num_frames, args.frame_sizes[-1],
+                                 args.frame_sizes[-1], args.num_channels),
+                                jnp.float32),
+             "captions": jnp.ones((2, 8), jnp.int32),
+             "lengths": jnp.full((2,), 8, jnp.int32)}
+    opt = optax.adam(1e-4)
+    state = init_state_abstract(gan, jax.random.key(0), batch, opt, opt, config)
+    status(f"Restoring {args.weights}")
+    state = restore_state(state, args.weights)
+
+    report = alignment_report(gan, state, vocab, k_per_class=args.k_per_class,
+                              seed=args.seed, batch_size=args.batch_size)
+    if args.real_videos:
+        report.update(real_data_ceiling(args.real_videos, args.real_sents))
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", required=True)
+    p.add_argument("--G", required=True)
+    p.add_argument("--D", nargs="+", required=True)
+    p.add_argument("--sent", default=None)
+    p.add_argument("--vocab", required=True)
+    p.add_argument("--frame_sizes", type=int, nargs="+", default=[8, 16, 32, 64])
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--num_channels", type=int, default=1)
+    p.add_argument("--k_per_class", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=40)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--real_videos", default=None,
+                   help="optional real video dir for the classifier ceiling")
+    p.add_argument("--real_sents", default=None)
+    main(p.parse_args())

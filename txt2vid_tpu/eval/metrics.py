@@ -78,14 +78,39 @@ def extract_features(videos, params=None, model=None, batch_size: int = 32):
     return np.concatenate(feats), params
 
 
-def sample_fidelity_report(real_videos, fake_videos, batch_size: int = 32):
-    """FID (random-conv features) + pixel statistics between two video sets."""
+def discrim_features(gan, state, videos, batch_size: int = 32):
+    """(N, T, H, W, C) -> (N, D) features from the TRAINED discriminator backbone
+    (Resnet3D global-sum-pooled features, resnet3d.py dual-head input) — the
+    'trained Inception' role for FID. Far better dynamic range than the random-conv
+    proxy once a trained checkpoint exists."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fwd(v):
+        preds = gan.apply_discrim(0, state.d_vars[0], [v], None, train=False)
+        return preds[0][2]
+
+    feats = []
+    for i in range(0, len(videos), batch_size):
+        feats.append(np.asarray(fwd(jnp.asarray(videos[i:i + batch_size]))))
+    return np.concatenate(feats)
+
+
+def sample_fidelity_report(real_videos, fake_videos, batch_size: int = 32,
+                           feature_fn=None):
+    """FID (random-conv features, + trained-feature FID when `feature_fn` is given)
+    and pixel statistics between two video sets."""
     fr, params = extract_features(real_videos, batch_size=batch_size)
     ff, _ = extract_features(fake_videos, params=params, batch_size=batch_size)
     real = np.asarray(real_videos, np.float32)
     fake = np.asarray(fake_videos, np.float32)
-    return {
+    report = {
         "fid_random_conv": fid_from_features(fr, ff),
         "real_mean": float(real.mean()), "fake_mean": float(fake.mean()),
         "real_std": float(real.std()), "fake_std": float(fake.std()),
     }
+    if feature_fn is not None:
+        report["fid_discrim"] = fid_from_features(feature_fn(real_videos),
+                                                  feature_fn(fake_videos))
+    return report

@@ -85,7 +85,12 @@ def main(args):
     real = np.concatenate(reals)
     fake = np.concatenate(fakes)
     status(f"evaluating {len(real)} real vs {len(fake)} generated videos")
-    report = sample_fidelity_report(real, fake)
+    feature_fn = None
+    if not args.no_discrim_fid:
+        from txt2vid_tpu.eval.metrics import discrim_features
+        feature_fn = lambda v: discrim_features(gan, state, v,
+                                                batch_size=args.batch_size)
+    report = sample_fidelity_report(real, fake, feature_fn=feature_fn)
     print(json.dumps(report))
     return report
 
@@ -103,7 +108,9 @@ if __name__ == "__main__":
     p.add_argument("--frame_sizes", type=int, nargs="+", default=[8, 16, 32, 64])
     p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--num_channels", type=int, default=3)
-    p.add_argument("--num", type=int, default=128)
+    p.add_argument("--num", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_discrim_fid", action="store_true",
+                   help="skip the trained-discriminator-feature FID")
     main(p.parse_args())
