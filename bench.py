@@ -5,13 +5,18 @@ Run shape mirrors the reference's conditional run (thesis.tex:552-553: batch 40 
 64x64, frame_sizes 8/16/32/64 with the subsample pyramid, RSGAN loss, Adam
 lr=2e-4 b1=0.5) with the Bi-LSTM caption encoder in the loop.
 
-vs_baseline: the reference publishes NO step rates (BASELINE.md). We use an estimated
-reference rate of 0.5 steps/sec for this config on its GTX 1060 (a 6 GB part running
-batch-40 multi-scale 3D-conv GAN training; the 2-day SLURM walltime for 10k-iteration
-runs, queue.sh:8 + thesis.tex:553, implies a rate of this order). The BASELINE.md
-target of >=5x the reference GPU rate therefore corresponds to vs_baseline >= 5.
+vs_baseline: the reference publishes NO step rates (BASELINE.md: baseline must be
+measured, and its hardware — a GTX 1060 6GB, thesis.tex:553 — is not available
+here). Instead of inventing a rate we compare against the reference hardware's
+SPEED-OF-LIGHT bound: the same step costs F FLOPs (measured from the compiled
+program's cost analysis, with a measured-constant fallback); a GTX 1060 at 100%
+fp32 utilization (4.375 TFLOP/s) cannot exceed 4.375e12 / F steps/s. vs_baseline =
+measured_steps_per_sec / that bound — a strict LOWER bound on the true speedup
+(the reference's real MFU on a 6 GB part running multi-scale 3D-conv GAN training
+was certainly far below 100%). The JSON line also reports effective TFLOP/s and
+MFU against this chip's peak.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -30,7 +35,17 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.5
+# GTX 1060 6GB peak fp32 (boost clock): the reference's conditional-run GPU
+REFERENCE_GPU_PEAK_FLOPS = 4.375e12
+# measured fallback for the step cost when the backend's cost analysis is
+# unavailable (XLA cost analysis of this exact program, round 1)
+FLOPS_PER_STEP_FALLBACK = 782e9
+
+# bf16 peak TFLOP/s by TPU generation (public specs); fp32 on the MXU runs at
+# roughly half the bf16 rate
+TPU_BF16_PEAK = {"v2": 45e12, "v3": 123e12, "v4": 275e12,
+                 "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+                 "v6 lite": 918e12, "v6e": 918e12}
 
 BATCH = 40
 NUM_FRAMES = 16
@@ -120,11 +135,39 @@ def main():
 
     n_chips = len(jax.devices())
     steps_per_sec_per_chip = MEASURE / dt / n_chips
+
+    # FLOPs per step from the compiled program when the backend exposes it
+    flops_per_step = FLOPS_PER_STEP_FALLBACK
+    flops_src = "xla_cost_analysis_round1_constant"
+    try:
+        ca = step.lower(state, sbatch, key).compile().cost_analysis()
+        if ca and ca.get("flops", 0) > 0:
+            flops_per_step = float(ca["flops"])
+            flops_src = "compiled_cost_analysis"
+    except Exception:
+        pass
+
+    ref_bound_steps = REFERENCE_GPU_PEAK_FLOPS / flops_per_step
+    eff_flops = steps_per_sec_per_chip * flops_per_step
+
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in TPU_BF16_PEAK.items() if k in kind), None)
+    mfu = round(eff_flops / peak, 4) if peak else None
+
     print(json.dumps({
         "metric": "train_steps_per_sec_per_chip_cond_tganv2_16f_64px",
         "value": round(steps_per_sec_per_chip, 4),
         "unit": "steps/sec/chip",
-        "vs_baseline": round(steps_per_sec_per_chip / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3),
+        # lower bound: measured rate vs the reference GPU's 100%-MFU ceiling
+        "vs_baseline": round(steps_per_sec_per_chip / ref_bound_steps, 3),
+        "baseline_model": "GTX1060 @ 100% fp32 MFU (speed-of-light bound, "
+                          f"{ref_bound_steps:.2f} steps/s); reference published "
+                          "no measured rate",
+        "flops_per_step": round(flops_per_step / 1e9, 1),
+        "flops_source": flops_src,
+        "effective_tflops": round(eff_flops / 1e12, 2),
+        "device_kind": jax.devices()[0].device_kind,
+        "mfu_vs_bf16_peak": mfu,
     }))
 
 

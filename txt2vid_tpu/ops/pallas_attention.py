@@ -66,7 +66,9 @@ def _attn_kernel(theta_ref, phi_ref, g_ref, o_ref, lse_ref, m_ref, l_ref, acc_re
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
         # log-sum-exp of each row's logits: the backward's softmax re-normalizer
-        lse_ref[0] = (m_ref[:, :1] + jnp.log(l_ref[:, :1]))[:, 0]
+        # (kept (BN, 1): TPU block shapes need the minor dims (8, 128)-tileable or
+        # equal to the array dims — a trailing singleton satisfies that)
+        lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
 
 
 def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
@@ -94,11 +96,11 @@ def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
         ],
         out_specs=[
             pl.BlockSpec((1, bn, dv), lambda bi, i, j: (bi, i, 0)),
-            pl.BlockSpec((1, bn), lambda bi, i, j: (bi, i)),
+            pl.BlockSpec((1, bn, 1), lambda bi, i, j: (bi, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, dv), g.dtype),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bn, _LANES), jnp.float32),   # running max
@@ -112,7 +114,7 @@ def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
         ),
         interpret=interpret,
     )(theta, phi, g)
-    return (o, lse) if return_lse else o
+    return (o, lse[..., 0]) if return_lse else o
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +136,8 @@ def _attn_bwd_dq_kernel(theta_ref, phi_ref, g_ref, do_ref, lse_ref, delta_ref,
     phi = phi_ref[0]                                              # (BM, d)
     g = g_ref[0]                                                  # (BM, dv)
     do = do_ref[0]                                                # (BN, dv)
-    lse = lse_ref[0][:, None]                                     # (BN, 1)
-    delta = delta_ref[0][:, None]                                 # (BN, 1)
+    lse = lse_ref[0]                                              # (BN, 1)
+    delta = delta_ref[0]                                          # (BN, 1)
 
     s = jax.lax.dot_general(theta, phi, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)   # (BN, BM)
@@ -165,8 +167,8 @@ def _attn_bwd_dkv_kernel(theta_ref, phi_ref, g_ref, do_ref, lse_ref, delta_ref,
     phi = phi_ref[0]                                              # (BM, d)
     g = g_ref[0]                                                  # (BM, dv)
     do = do_ref[0]                                                # (BN, dv)
-    lse = lse_ref[0][:, None]                                     # (BN, 1)
-    delta = delta_ref[0][:, None]                                 # (BN, 1)
+    lse = lse_ref[0]                                              # (BN, 1)
+    delta = delta_ref[0]                                          # (BN, 1)
 
     s = jax.lax.dot_general(theta, phi, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)   # (BN, BM)
@@ -202,7 +204,9 @@ def fused_attention_bwd(theta, phi, g, o, lse, do,
     n_m_blocks = m // bm
 
     # delta = rowsum(do * o): cheap elementwise XLA, fused into do's producer
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)                                # (B, N, 1)
+    lse = lse[..., None] if lse.ndim == 2 else lse                # (B, N, 1)
 
     dtheta = pl.pallas_call(
         functools.partial(_attn_bwd_dq_kernel, n_m_blocks=n_m_blocks),
@@ -212,8 +216,8 @@ def fused_attention_bwd(theta, phi, g, o, lse, do,
             pl.BlockSpec((1, bm, d), lambda bi, i, j: (bi, j, 0)),
             pl.BlockSpec((1, bm, dv), lambda bi, i, j: (bi, j, 0)),
             pl.BlockSpec((1, bn, dv), lambda bi, i, j: (bi, i, 0)),
-            pl.BlockSpec((1, bn), lambda bi, i, j: (bi, i)),
-            pl.BlockSpec((1, bn), lambda bi, i, j: (bi, i)),
+            pl.BlockSpec((1, bn, 1), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, bn, 1), lambda bi, i, j: (bi, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, bn, d), lambda bi, i, j: (bi, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, d), theta.dtype),
@@ -234,8 +238,8 @@ def fused_attention_bwd(theta, phi, g, o, lse, do,
             pl.BlockSpec((1, bm, d), lambda bi, jm, i: (bi, jm, 0)),
             pl.BlockSpec((1, bm, dv), lambda bi, jm, i: (bi, jm, 0)),
             pl.BlockSpec((1, bn, dv), lambda bi, jm, i: (bi, i, 0)),
-            pl.BlockSpec((1, bn), lambda bi, jm, i: (bi, i)),
-            pl.BlockSpec((1, bn), lambda bi, jm, i: (bi, i)),
+            pl.BlockSpec((1, bn, 1), lambda bi, jm, i: (bi, i, 0)),
+            pl.BlockSpec((1, bn, 1), lambda bi, jm, i: (bi, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bm, d), lambda bi, jm, i: (bi, jm, 0)),

@@ -4,8 +4,18 @@ torch.nn.parallel.data_parallel scatter/gather, SURVEY.md §2.8).
 Design: one `jax.sharding.Mesh` over all chips with a `dp` (data) axis; batches are
 sharded over `dp`, parameters and optimizer state are replicated, and XLA inserts the
 gradient all-reduce over ICI automatically when the jitted train step consumes sharded
-batches with replicated-out params. TP axes can be added later by extending the mesh —
-the models are far below the size where that pays (reference models ~1e8 params).
+batches with replicated-out params. An optional `sp` axis ring-shards non-local
+attention tokens (ops/ring_attention.py). TP axes can be added later by extending the
+mesh — the models are far below the size where that pays (reference ~1e8 params).
+
+BatchNorm semantics under dp (deliberate design decision): batch statistics are
+GLOBAL-batch — XLA turns the BN mean/var reductions over the dp-sharded batch into
+cross-replica reductions. The reference's DataParallel computed per-GPU-shard stats
+(an artifact of replicate/scatter, not a choice); global stats are the mathematically
+stated algorithm, make training invariant to device count (verified:
+tests/test_infra.py dp=1 vs dp=8 numerical-equivalence), and cost one small ICI
+reduction that overlaps with compute. Per-shard BN is intentionally NOT offered —
+results would silently depend on the mesh shape.
 """
 
 import numpy as np
