@@ -145,3 +145,86 @@ class TestMakeFakeConds:
         cond0 = jnp.ones((1, 4))
         fakes = gan.make_fake_conds([cond0], jax.random.key(0))
         assert fakes[0].shape == (1, 4)
+
+
+class TestProjCondHead:
+    def test_proj_head_is_video_caption_interactive(self):
+        """The projection head's cond logit must depend on cond AND the dependence
+        must vary with the video (bilinear interaction) — the concat head is
+        additive in cond, which is exactly why it cannot drive alignment."""
+        from txt2vid_tpu.models.resnet3d import Resnet3D
+
+        d = Resnet3D(mid_ch=8, num_down_blocks=1, with_attn=False, cond_dim=8,
+                     cond_head="proj", use_pallas=False)
+        x1 = jax.random.normal(jax.random.key(0), (2, 4, 16, 16, 1))
+        x2 = jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 1))
+        c1 = jnp.ones((2, 8))
+        c2 = -jnp.ones((2, 8))
+        v = d.init(jax.random.key(2), x1, cond=c1, train=True)
+
+        def logit(x, c):
+            return np.asarray(d.apply(v, x, cond=c, train=True)[1])
+
+        d1 = logit(x1, c1) - logit(x1, c2)   # cond effect on video 1
+        d2 = logit(x2, c1) - logit(x2, c2)   # cond effect on video 2
+        assert np.abs(d1).max() > 1e-6       # depends on cond
+        assert np.abs(d1 - d2).max() > 1e-6  # interaction: effect differs by video
+
+    def test_concat_head_cond_effect_is_video_independent(self):
+        # documents the reference head's limitation the proj head fixes
+        from txt2vid_tpu.models.resnet3d import Resnet3D
+
+        d = Resnet3D(mid_ch=8, num_down_blocks=1, with_attn=False, cond_dim=8,
+                     cond_head="concat", use_pallas=False)
+        x1 = jax.random.normal(jax.random.key(0), (2, 4, 16, 16, 1))
+        x2 = jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 1))
+        c1 = jnp.ones((2, 8))
+        c2 = -jnp.ones((2, 8))
+        v = d.init(jax.random.key(2), x1, cond=c1, train=True)
+
+        def logit(x, c):
+            return np.asarray(d.apply(v, x, cond=c, train=True)[1])
+
+        d1 = logit(x1, c1) - logit(x1, c2)
+        d2 = logit(x2, c1) - logit(x2, c2)
+        np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+
+class TestEnd2EndDOnly:
+    def test_encoder_updates_from_d_phase_only(self):
+        from txt2vid_tpu.models import tganv2
+        enc = Seq2Seq(vocab_size=20, embed_size=8, hidden_size=16, num_layers=1)
+        gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16,
+                                   num_channels=1, fm_channels=16,
+                                   additional_blocks=(8,), num_frames=4,
+                                   cond_dim=16, use_pallas=False)
+        dis = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1), num_channels=1,
+                                       cond_dim=16, with_attn=False,
+                                       use_pallas=False, cond_head="proj")
+        gan = CondGan(gen=gen, discrims=[dis], cond_encoder=enc)
+        cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True,
+                          latent_size=16, end2end=True, end2end_txt_in_g=False)
+        optG, optD = make_opts()
+        b = 8
+        batch = {
+            "video": jnp.asarray(
+                np.random.default_rng(0).standard_normal((b, 4, 16, 16, 1))
+                .clip(-1, 1), jnp.float32),
+            "captions": jnp.tile(jnp.array([[1, 4, 5, 2]], jnp.int32), (b, 1)),
+            "lengths": jnp.full((b,), 4, jnp.int32),
+        }
+        state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+        txt0 = jax.device_get(state.txt_vars["params"])
+        step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+        s1, m = step(state, batch, jax.random.key(1))
+        assert bool(jnp.isfinite(m["loss_d"])) and bool(jnp.isfinite(m["loss_g"]))
+        assert params_differ(txt0, s1.txt_vars["params"]), \
+            "encoder must still update (via the D optimizer)"
+        # the G optimizer state must NOT contain a txt branch
+        paths = [jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(s1.opt_g_state)]
+        assert not any("txt" in p for p in paths), paths[:4]
+        # ... while the D optimizer state must
+        d_paths = [jax.tree_util.keystr(p) for p, _ in
+                   jax.tree_util.tree_leaves_with_path(s1.opt_d_state)]
+        assert any("txt" in p for p in d_paths)

@@ -56,6 +56,20 @@ def check_grads():
         assert err / max(scale, 1e-6) < 0.02, f"grad {name} mismatch {err}"
         print(f"  grad d{name}: max_err={err:.2e} ok")
 
+    # model-scale shape through the flash backward kernels (the (N, M) map —
+    # 4096x1024 f32 = 16 MB per batch element — never hits HBM)
+    kt, kp, kg = jax.random.split(jax.random.key(5), 3)
+    theta = jax.random.normal(kt, (4, 4096, 16))
+    phi = jax.random.normal(kp, (4, 1024, 16))
+    g = jax.random.normal(kg, (4, 1024, 64))
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(theta, phi, g)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(theta, phi, g)
+    for a, b, name in zip(gf, gr, "theta phi g".split()):
+        err = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max())
+        assert err / max(scale, 1e-6) < 0.02, f"large grad {name} mismatch {err}"
+        print(f"  grad(4096x1024) d{name}: max_err={err:.2e} ok")
+
 
 def check_module():
     from txt2vid_tpu.models.layers import Attention3d
@@ -88,8 +102,19 @@ def bench_kernel():
         g = jax.random.normal(kg, (b, m, dv))
         tx = timeit(jax.jit(attention_core), theta, phi, g)
         tp = timeit(jax.jit(fused_attention), theta, phi, g)
-        print(f"  bench b={b} n={n} m={m}: xla {tx:.3f}ms pallas {tp:.3f}ms "
+        print(f"  bench fwd b={b} n={n} m={m}: xla {tx:.3f}ms pallas {tp:.3f}ms "
               f"({tx / tp:.2f}x)")
+
+        # training direction: value+grad through the flash backward vs XLA
+        from txt2vid_tpu.ops.attention import attention_core_fused
+        gx = jax.jit(jax.grad(lambda *a: jnp.sum(attention_core(*a) ** 2),
+                              argnums=(0, 1, 2)))
+        gp_ = jax.jit(jax.grad(lambda *a: jnp.sum(attention_core_fused(*a) ** 2),
+                               argnums=(0, 1, 2)))
+        tgx = timeit(gx, theta, phi, g, iters=20)
+        tgp = timeit(gp_, theta, phi, g, iters=20)
+        print(f"  bench grad b={b} n={n} m={m}: xla {tgx:.3f}ms pallas {tgp:.3f}ms "
+              f"({tgx / tgp:.2f}x)")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,13 @@ class TrainConfig:
     gen_steps: int = 1
     gp_lambda: float = -1.0
     end2end: bool = False
+    # Reference --end2end puts encoder params in BOTH optimizers (gan.py:82-85).
+    # False = encoder updated by the D phase only: the G phase cannot minimize its
+    # loss by collapsing the encoder to a constant (the degenerate shortcut the
+    # both-optimizers form admits — G loss is minimized when matched and mismatched
+    # captions become indistinguishable), while D still shapes the encoding to
+    # separate matched from mismatched pairs.
+    end2end_txt_in_g: bool = True
     mean_discrim_loss: bool = False     # reference --no_mean_discrim_loss default
     mean_gen_loss: bool = False
     img_model: bool = False
@@ -133,7 +140,8 @@ def _init_state_impl(gan: CondGan, key, sample_batch, optG, optD, config: TrainC
     g_opt_params = {"g": g_vars["params"]}
     d_opt_params = {"d": tuple(v["params"] for v in d_vars)}
     if config.end2end and txt_vars is not None:
-        g_opt_params["txt"] = txt_vars["params"]
+        if config.end2end_txt_in_g:
+            g_opt_params["txt"] = txt_vars["params"]
         d_opt_params["txt"] = txt_vars["params"]
 
     return GanTrainState(
@@ -221,22 +229,33 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
             "txt", None if state.txt_vars is None else state.txt_vars["params"])
 
         # ------------------------------------------------------------- G phase
+        txt_grads_in_g = (config.end2end and config.end2end_txt_in_g and has_cond)
         g_opt_params = {"g": state.g_vars["params"]}
-        if config.end2end and state.txt_vars is not None:
+        if txt_grads_in_g and state.txt_vars is not None:
             g_opt_params["txt"] = txt_params
 
         # cached real predictions with updated D (reference trainer.py:247); when
-        # end2end they are recomputed inside the G loss so encoder grads flow
+        # encoder grads flow in the G phase they are recomputed inside the G loss
         real_preds_const = None
-        if not (config.end2end and has_cond):
+        cond_scales_g = cond_scales_const
+        if not txt_grads_in_g:
+            if config.end2end and has_cond:
+                # encoder was updated by the D phase: re-encode (no grads) so the
+                # G phase conditions on the CURRENT encoder
+                cond_g = jax.lax.stop_gradient(gan.encode(
+                    _merge_vars(state.txt_vars, txt_params),
+                    batch["captions"], batch["lengths"]))
+                real_scales_g, cond_scales_g = scales_for(x, cond_g, k_pyr)
+            else:
+                real_scales_g = real_scales_const
             real_preds_const = jax.lax.stop_gradient(gan.all_discrim_forward(
-                new_d_vars, real_scales=real_scales_const,
-                cond_scales=cond_scales_const, loss=None, key=None,
+                new_d_vars, real_scales=real_scales_g,
+                cond_scales=cond_scales_g, loss=None, key=None,
                 m_vars=state.m_vars, train=True)[2])
 
         def g_loss_fn(opt_params, gkey):
             g_vars = _merge_vars(state.g_vars, opt_params["g"])
-            if config.end2end and has_cond:
+            if txt_grads_in_g:
                 cond = gan.encode(_merge_vars(state.txt_vars, opt_params["txt"]),
                                   batch["captions"], batch["lengths"])
                 real_scales, cond_scales = scales_for(x, cond, k_pyr)
@@ -246,7 +265,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                 gen_cond = cond_scales[0] if cond_scales is not None else None
             else:
                 real_preds = real_preds_const
-                cond_scales = cond_scales_const
+                cond_scales = cond_scales_g
                 gen_cond = cond_scales[0] if cond_scales is not None else None
 
             fakes, g_stats = gan.generate(g_vars, z, cond=gen_cond, key=gkey,
@@ -277,7 +296,8 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
 
         new_txt_vars = state.txt_vars
         if config.end2end and state.txt_vars is not None:
-            new_txt_vars = _merge_vars(state.txt_vars, g_opt_params["txt"])
+            new_txt_vars = _merge_vars(state.txt_vars,
+                                       g_opt_params.get("txt", txt_params))
 
         new_state = state.replace(
             step=state.step + 1,

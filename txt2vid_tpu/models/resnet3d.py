@@ -35,6 +35,16 @@ class Resnet3D(nn.Module):
     num_down_blocks: int = 4
     wide: bool = False
     with_attn: bool = True
+    # Conditional-head form:
+    #   "concat" — the reference's Dense over [feats ‖ cond] (resnet3d.py:33-35).
+    #     NOTE this head is ADDITIVE in cond: cond_logit = w_f.f(x) + w_c.c, so the
+    #     pairing losses carry NO video-caption interaction (the cond term cancels
+    #     in real_cc - fake_cc and is video-independent in real_cc - real_ic) —
+    #     kept as the parity default, but it cannot drive semantic alignment.
+    #   "proj"   — projection cGAN (Miyato & Koyama 2018): psi(f(x)) + c^T V f(x),
+    #     a bilinear interaction that scores how well THIS video matches THIS
+    #     caption; use for caption-semantic conditioning.
+    cond_head: str = "concat"
     init_method: str = "xavier"
     use_pallas: bool | None = None
     dtype: Any = None
@@ -76,8 +86,15 @@ class Resnet3D(nn.Module):
 
         if cond is not None:
             assert self.cond_dim > 0
-            x_plus_cond = jnp.concatenate([feats, cond.astype(feats.dtype)], axis=1)
-            cond_logit = nn.Dense(1, kernel_init=ki, name="fc")(x_plus_cond)
+            if self.cond_head == "proj":
+                v = nn.Dense(feats.shape[-1], use_bias=False, kernel_init=ki,
+                             name="cond_proj")(cond.astype(feats.dtype))
+                cond_logit = nn.Dense(1, kernel_init=ki, name="fc")(feats) \
+                    + jnp.sum(v * feats, axis=1, keepdims=True)
+            else:
+                x_plus_cond = jnp.concatenate([feats, cond.astype(feats.dtype)],
+                                              axis=1)
+                cond_logit = nn.Dense(1, kernel_init=ki, name="fc")(x_plus_cond)
             return uncond, cond_logit, feats
 
         return uncond, None, feats

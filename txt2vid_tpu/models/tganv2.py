@@ -148,6 +148,7 @@ class MultiScaleDiscrim(nn.Module):
     single_discrim: bool = True
     wide: bool = False
     with_attn: bool = True
+    cond_head: str = "concat"    # "concat" (reference parity) | "proj" (see Resnet3D)
     init_method: str = "xavier"
     use_pallas: bool | None = None
     dtype: Any = None
@@ -168,8 +169,8 @@ class MultiScaleDiscrim(nn.Module):
         def make(db, name):
             return cls(num_channels=self.num_channels, cond_dim=self.cond_dim,
                        num_down_blocks=db, wide=self.wide, with_attn=self.with_attn,
-                       init_method=self.init_method, use_pallas=self.use_pallas,
-                       dtype=self.dtype, name=name)
+                       cond_head=self.cond_head, init_method=self.init_method,
+                       use_pallas=self.use_pallas, dtype=self.dtype, name=name)
 
         if self.single_discrim:
             shared = make(self.discrim_down_blocks[-1], "discrim")

@@ -94,7 +94,8 @@ def main(args):
         discrim_steps=args.discrim_steps,
         gen_steps=args.gen_steps,
         gp_lambda=args.gp_lambda,
-        end2end=args.end2end,
+        end2end=args.end2end or args.end2end_d_only,
+        end2end_txt_in_g=not args.end2end_d_only,
         mean_discrim_loss=not args.no_mean_discrim_loss,
         mean_gen_loss=not args.no_mean_gen_loss,
         img_model=args.img_model,
@@ -220,6 +221,10 @@ def build_parser():
     parser.add_argument('--sent', type=str, default=None)
     parser.add_argument('--dont_use_sent', action='store_true', default=False)
     parser.add_argument('--end2end', action='store_true', default=False)
+    parser.add_argument('--end2end_d_only', action='store_true', default=False,
+                        help='end2end encoder updates from the D phase only: '
+                             'avoids the G-phase encoder-collapse shortcut that '
+                             'the reference\'s both-optimizers --end2end admits')
     parser.add_argument('--sgd', action='store_true', default=False)
     parser.add_argument('--bf16', action='store_true', default=False,
                         help='bfloat16 compute dtype for G/D (params stay f32)')
