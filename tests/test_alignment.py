@@ -80,3 +80,18 @@ class TestDiscrimFID:
         diff = fid_from_features(fa, discrim_features(gan, state, b, batch_size=4))
         assert same == pytest.approx(0.0, abs=1e-3)
         assert diff > same + 1e-2
+
+
+class TestDigitClassifier:
+    def test_digit_recovered_from_rendered_clip(self):
+        from txt2vid_tpu.data.synthetic import _glyph_digits
+        from txt2vid_tpu.eval.alignment import classify_digit
+
+        glyphs = _glyph_digits()
+        ok = 0
+        for d in range(10):
+            v = render_video(glyphs[d][0], (64, 64), num_frames=16,
+                             animation_len=12, from_pt=(2, 20), to_pt=(34, 20))
+            v = v.astype(np.float32) / 127.5 - 1.0
+            ok += int(classify_digit(v) == d)
+        assert ok >= 9, f"only {ok}/10 digits recovered"

@@ -74,6 +74,42 @@ def classify_batch(videos) -> np.ndarray:
     return np.asarray([classify_motion(np.asarray(v))[0] for v in videos])
 
 
+def _digit_templates(size: int = 28):
+    from txt2vid_tpu.data.synthetic import _glyph_digits
+    glyphs = _glyph_digits(size)
+    t = np.stack([g[0].astype(np.float32) / 255.0 for g in glyphs.values()])
+    t -= t.mean(axis=(1, 2), keepdims=True)
+    return t / (np.linalg.norm(t.reshape(10, -1), axis=1)[:, None, None] + 1e-8)
+
+
+def classify_digit(video: np.ndarray, templates=None) -> int:
+    """Which digit is moving: crop a glyph-sized patch at the brightness centroid
+    of each frame, correlate with the dataset's glyph templates, vote over frames."""
+    if templates is None:
+        templates = _digit_templates()
+    v = np.asarray(video, np.float32)
+    bright = (v[..., 0] + 1.0) / 2.0 if v.max() <= 2.0 else v[..., 0] / 255.0
+    track = centroid_track(video)
+    th, tw = templates.shape[1:]
+    votes = np.zeros(10)
+    t, h, w = bright.shape
+    # small shift search: the brightness centroid is not the glyph's crop center
+    for fi in range(t):
+        cx, cy = track[fi]
+        best = np.full(10, -np.inf)
+        for dy in range(-3, 4):
+            for dx in range(-3, 4):
+                y0 = int(np.clip(round(cy - th / 2) + dy, 0, h - th))
+                x0 = int(np.clip(round(cx - tw / 2) + dx, 0, w - tw))
+                patch = bright[fi, y0:y0 + th, x0:x0 + tw]
+                patch = patch - patch.mean()
+                norm = np.linalg.norm(patch) + 1e-8
+                corr = (templates * (patch / norm)).sum(axis=(1, 2))
+                best = np.maximum(best, corr)
+        votes += best
+    return int(votes.argmax())
+
+
 def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
                      seed: int = 0, batch_size: int = 40):
     """Generate k_per_class videos per motion class (digits cycled, fresh z each),
@@ -100,16 +136,23 @@ def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
     for i, c in enumerate(enc):
         toks[i, :len(c)] = c
 
+    digit_labels = np.asarray([digits[k % len(digits)]
+                               for _ in MOTION_CLASSES for k in range(k_per_class)])
+    templates = _digit_templates()
+
     key = jax.random.key(seed)
-    preds = []
+    preds, digit_preds = [], []
     for i in range(0, len(caps), batch_size):
         tb = jnp.asarray(toks[i:i + batch_size])
         lb = jnp.asarray(lengths[i:i + batch_size])
         cond = gan.encode(state.txt_vars, tb, lb)
         key, kz = jax.random.split(key)
         fakes = sample(gan, state, tb.shape[0], kz, cond=cond)
-        preds.append(classify_batch(np.asarray(fakes[-1])))
+        vids = np.asarray(fakes[-1])
+        preds.append(classify_batch(vids))
+        digit_preds.append([classify_digit(v, templates) for v in vids])
     preds = np.concatenate(preds)
+    digit_preds = np.concatenate(digit_preds)
 
     conf = np.zeros((4, 4), np.int64)
     for l, p in zip(labels, preds):
@@ -118,7 +161,8 @@ def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
     acc = float((preds == labels).mean())
     axis_acc = float(np.mean([axis(p) == axis(l) for p, l in zip(preds, labels)]))
     return {"accuracy_4way": acc, "accuracy_axis": axis_acc,
-            "chance_4way": 0.25, "chance_axis": 0.5,
+            "accuracy_digit": float((digit_preds == digit_labels).mean()),
+            "chance_4way": 0.25, "chance_axis": 0.5, "chance_digit": 0.1,
             "n": int(len(labels)), "confusion": conf.tolist()}
 
 
@@ -130,7 +174,8 @@ def real_data_ceiling(video_dir, sent_pickle, n: int = 200, num_frames: int = 16
     from pathlib import Path
 
     sents = load_pickle(sent_pickle)
-    ok = total = 0
+    templates = _digit_templates()
+    ok = ok_digit = total = 0
     for vid, caps in list(sents.items())[:n]:
         cls = caption_motion_class(caps[0])
         if cls is None:
@@ -139,8 +184,11 @@ def real_data_ceiling(video_dir, sent_pickle, n: int = 200, num_frames: int = 16
                               num_channels=1)
         pred, _ = classify_motion(v)
         ok += int(pred == cls)
+        digit = int(caps[0].split()[1])
+        ok_digit += int(classify_digit(v, templates) == digit)
         total += 1
-    return {"real_accuracy_4way": ok / max(total, 1), "n": total}
+    return {"real_accuracy_4way": ok / max(total, 1),
+            "real_accuracy_digit": ok_digit / max(total, 1), "n": total}
 
 
 def main(args):
