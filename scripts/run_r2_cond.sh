@@ -5,7 +5,7 @@ set -e
 cd "$(dirname "$0")/.."
 exec python -m txt2vid_tpu.train.gan \
     --G '{"class": "txt2vid_tpu.models.tganv2_cond.MultiScaleGen", "args": {"num_channels": 1, "num_frames": 16}}' \
-    --D '{"class": "txt2vid_tpu.models.tganv2_cond.MultiScaleDiscrim", "args": {"num_channels": 1}}' \
+    --D '{"class": "txt2vid_tpu.models.tganv2_cond.MultiScaleDiscrim", "args": {"num_channels": 1, "cond_head": "proj"}}' \
     --sent txt2vid_tpu.models.txt.Seq2Seq \
     --sent_weights out/txt_pretrain_r2/txt_final \
     --data '{"class": "txt2vid_tpu.data.packed.packed_dataset", "args": {"data": "synthetic_big/train/videos.t2vc", "num_frames": 16}}' \

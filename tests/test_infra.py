@@ -267,11 +267,17 @@ class TestShardedStep:
             for a, c in zip(leaves1, leaves8):
                 scale = max(np.abs(a).max(), np.abs(c).max(), 1e-12)
                 got_nonzero = got_nonzero or scale > 1e-6
-                # atol floor: leaves whose entire delta is reduction noise (~1e-8)
-                # carry no signal; an 8x sum-vs-mean bug on any real leaf is caught
-                np.testing.assert_allclose(
-                    a, c, rtol=0, atol=max(5e-3 * scale, 1e-6),
-                    err_msg=f"{name} param deltas diverge dp1 vs dp8")
+                # Per-leaf relative-L2 distance: dp8 changes gradient summation
+                # order, and Adam amplifies fp32 reduction noise on individual
+                # near-zero-gradient elements (observed: ~1% on 1 element of a
+                # small leaf, varying run to run with CPU thread scheduling), so
+                # an elementwise atol is fragile. Relative L2 is stable ~1e-3
+                # for noise while a sum-vs-mean dp bug puts every leaf at ~7.
+                dist = np.linalg.norm(a - c)
+                denom = max(np.linalg.norm(a), np.linalg.norm(c), 1e-12)
+                assert dist / denom < 2e-2 or dist < 1e-6, \
+                    f"{name} param deltas diverge dp1 vs dp8 " \
+                    f"(rel L2 {dist / denom:.3g})"
             assert got_nonzero, f"{name} got no update at all"
 
 

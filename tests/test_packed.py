@@ -73,6 +73,21 @@ class TestPackedDataset:
         assert batch["captions"].shape == (2, 12)
         assert batch["lengths"][0] > 0
 
+    def test_per_item_access_matches_get_batch(self, packed):
+        # __getitem__ exposes the per-item (video, caption) protocol of
+        # VideoDataset, so packed datasets work with eval CLIs and Loader too
+        out, vids = packed
+        caps = {str(i): [f"digit {i} is left and right."] for i in range(5)}
+        vocab = build_vocab([c for v in caps.values() for c in v])
+        dset = PackedVideoDataset(out, vocab=vocab, captions=caps, num_frames=4,
+                                  frame_size=8, num_channels=1)
+        frames, caption = dset[2]
+        assert frames.shape == (4, 8, 8, 1)
+        batch = dset.get_batch([2], max_caption_len=12)
+        np.testing.assert_allclose(frames, batch["video"][0])
+        np.testing.assert_array_equal(np.asarray(caption),
+                                      batch["captions"][0][:len(caption)])
+
     def test_uint8_transport(self, packed):
         out, _ = packed
         dset = PackedVideoDataset(out, num_frames=4, frame_size=8, num_channels=1,

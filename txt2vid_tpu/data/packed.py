@@ -220,6 +220,21 @@ class PackedVideoDataset:
     def __len__(self):
         return len(self.video_idx)
 
+    def __getitem__(self, idx):
+        """Per-item (video, encoded_caption) access — the same protocol as
+        VideoDataset.__getitem__ (data/__init__.py), so packed datasets also work
+        with per-item consumers (eval CLIs, Loader, benchmark). The hot training
+        path should still use get_batch (one native gather per batch)."""
+        vid = int(self.video_idx[idx])
+        fidx = pick_frames(self.reader.video_num_frames(vid), self.num_frames,
+                           random=self.random_frames, rng=self.rng)
+        raw = self.reader.read_batch(np.asarray([vid], np.int64), fidx[None])[0]
+        frames = transform_frames(raw, self.frame_size, self.num_channels,
+                                  normalize=self.normalize)
+        caption = encode_caption(self.vocab, self.captions[idx]) \
+            if self.vocab is not None and self.captions[idx] is not None else None
+        return frames, caption
+
     def get_batch(self, idxs, max_caption_len=32):
         vids = np.asarray([self.video_idx[i] for i in idxs], dtype=np.int64)
         fidx = np.stack([

@@ -54,10 +54,18 @@ def main(args):
     status(f"Restoring {args.weights}")
     state = restore_state(state, args.weights)
 
-    dset = VideoDataset(video_dir=args.data, vocab=vocab, captions=args.anno,
-                        num_frames=args.num_frames,
-                        frame_size=args.frame_sizes[-1],
-                        num_channels=args.num_channels)
+    if args.data.lstrip().startswith("{") or args.data.endswith(".json"):
+        # component spec (same surface as the train CLI's --data): any per-item
+        # dataset, e.g. packed_dataset — PackedVideoDataset supports __getitem__
+        dset = create_object(args.data, vocab=vocab, anno=args.anno,
+                             num_frames=args.num_frames,
+                             frame_size=args.frame_sizes[-1],
+                             num_channels=args.num_channels)
+    else:
+        dset = VideoDataset(video_dir=args.data, vocab=vocab, captions=args.anno,
+                            num_frames=args.num_frames,
+                            frame_size=args.frame_sizes[-1],
+                            num_channels=args.num_channels)
 
     reals, fakes = [], []
     key = jax.random.key(args.seed)
@@ -86,7 +94,7 @@ def main(args):
     fake = np.concatenate(fakes)
     status(f"evaluating {len(real)} real vs {len(fake)} generated videos")
     feature_fn = None
-    if not args.no_discrim_fid:
+    if not getattr(args, "no_discrim_fid", False):
         from txt2vid_tpu.eval.metrics import discrim_features
         feature_fn = lambda v: discrim_features(gan, state, v,
                                                 batch_size=args.batch_size)
