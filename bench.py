@@ -65,15 +65,21 @@ def main():
         make_mesh, jit_train_step_sharded, shard_batch, shard_train_state)
 
     import os
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") == "1" else None
+    # bf16 compute (f32 params) is the recommended TPU training config — the
+    # step is HBM-bound and bf16 cuts activation traffic (profile_step.py);
+    # training equivalence is covered by the bf16 e2e tests. BENCH_BF16=0
+    # benches the f32 path.
+    use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
+    dtype = jnp.bfloat16 if use_bf16 else None
     vocab_size = 64
     enc = Seq2Seq(vocab_size=vocab_size)
     gen = tganv2_cond.MultiScaleGen(num_frames=NUM_FRAMES, dtype=dtype)
     discrim = tganv2_cond.MultiScaleDiscrim(dtype=dtype)
     gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
     cfg = TrainConfig(frame_sizes=FRAME_SIZES, subsample_input=True, latent_size=256)
-    optG = optax.adam(2e-4, b1=0.5, b2=0.999)
-    optD = optax.adam(2e-4, b1=0.5, b2=0.999)
+    mu_dtype = jnp.bfloat16 if use_bf16 else None
+    optG = optax.adam(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype)
+    optD = optax.adam(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype)
 
     rng = np.random.default_rng(0)
     batch = {   # host numpy; placed on device exactly once via shard_batch
@@ -167,6 +173,7 @@ def main():
         "flops_source": flops_src,
         "effective_tflops": round(eff_flops / 1e12, 2),
         "device_kind": jax.devices()[0].device_kind,
+        "dtype": "bf16" if use_bf16 else "f32",
         "mfu_vs_bf16_peak": mfu,
     }))
 

@@ -74,8 +74,15 @@ def main(args):
         optG = optax.sgd(args.G_lr, momentum=args.G_beta1)
     else:
         status("Using Adam")
-        optD = optax.adam(args.D_lr, b1=args.D_beta1, b2=args.D_beta2)
-        optG = optax.adam(args.G_lr, b1=args.G_beta1, b2=args.G_beta2)
+        # --bf16 also stores the first Adam moment in bf16: the step is
+        # HBM-bandwidth-bound (scripts/profile_step.py) and the moment tensors
+        # are pure streaming traffic; mu tolerates low precision (it is a
+        # smoothed gradient), while nu stays f32 (sqrt of tiny variances)
+        mu_dtype = jnp.bfloat16 if args.bf16 else None
+        optD = optax.adam(args.D_lr, b1=args.D_beta1, b2=args.D_beta2,
+                          mu_dtype=mu_dtype)
+        optG = optax.adam(args.G_lr, b1=args.G_beta1, b2=args.G_beta2,
+                          mu_dtype=mu_dtype)
 
     status(f"Loading data from {args.data}")
     dset = create_object(args.data, vocab=vocab, anno=args.anno,
