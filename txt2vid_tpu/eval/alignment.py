@@ -141,11 +141,12 @@ def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
     templates = _digit_templates()
 
     key = jax.random.key(seed)
-    preds, digit_preds = [], []
+    preds, digit_preds, conds = [], [], []
     for i in range(0, len(caps), batch_size):
         tb = jnp.asarray(toks[i:i + batch_size])
         lb = jnp.asarray(lengths[i:i + batch_size])
         cond = gan.encode(state.txt_vars, tb, lb)
+        conds.append(np.asarray(cond))
         key, kz = jax.random.split(key)
         fakes = sample(gan, state, tb.shape[0], kz, cond=cond)
         vids = np.asarray(fakes[-1])
@@ -153,6 +154,14 @@ def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
         digit_preds.append([classify_digit(v, templates) for v in vids])
     preds = np.concatenate(preds)
     digit_preds = np.concatenate(digit_preds)
+    # encoder health: mean pairwise L2 distance between the caption encodings.
+    # A collapsed encoder (the --end2end-in-G failure mode, see train_step.py's
+    # end2end_txt_in_g) maps every caption to ~one point: spread ~1e-3 vs ~2.0
+    # for a healthy pretrained encoder.
+    cond_all = np.concatenate(conds)
+    sub = cond_all[np.random.default_rng(0).permutation(len(cond_all))[:64]]
+    cond_spread = float(np.mean(
+        np.linalg.norm(sub[:, None, :] - sub[None, :, :], axis=-1)))
 
     conf = np.zeros((4, 4), np.int64)
     for l, p in zip(labels, preds):
@@ -163,6 +172,7 @@ def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
     return {"accuracy_4way": acc, "accuracy_axis": axis_acc,
             "accuracy_digit": float((digit_preds == digit_labels).mean()),
             "chance_4way": 0.25, "chance_axis": 0.5, "chance_digit": 0.1,
+            "cond_spread": cond_spread,
             "n": int(len(labels)), "confusion": conf.tolist()}
 
 
