@@ -219,7 +219,9 @@ def main(args):
     gen = create_object(args.G, cond_dim=txt_encoder.encoding_size)
     discrims = [create_object(d, cond_dim=txt_encoder.encoding_size)
                 for d in args.D]
-    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+    mapping = create_object(args.M) if getattr(args, "M", None) else None
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
+                  sample_mapping=mapping)
 
     config = TrainConfig(frame_sizes=tuple(args.frame_sizes),
                          latent_size=gan.gen.latent_size)
@@ -246,6 +248,8 @@ if __name__ == "__main__":
     p.add_argument("--G", required=True)
     p.add_argument("--D", nargs="+", required=True)
     p.add_argument("--sent", default=None)
+    p.add_argument("--M", default=None,
+                   help="sample-mapping spec (TCWYT FrameMap), as in train/gan.py")
     p.add_argument("--vocab", required=True)
     p.add_argument("--frame_sizes", type=int, nargs="+", default=[8, 16, 32, 64])
     p.add_argument("--num_frames", type=int, default=16)

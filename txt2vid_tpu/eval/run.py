@@ -38,7 +38,9 @@ def main(args):
 
     gen = create_object(args.G, cond_dim=cond_dim)
     discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
-    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+    mapping = create_object(args.M) if getattr(args, "M", None) else None
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
+                  sample_mapping=mapping)
 
     config = TrainConfig(frame_sizes=tuple(args.frame_sizes),
                          latent_size=gan.gen.latent_size)
@@ -109,6 +111,8 @@ if __name__ == "__main__":
     p.add_argument("--G", required=True)
     p.add_argument("--D", nargs="+", required=True)
     p.add_argument("--sent", default=None)
+    p.add_argument("--M", default=None,
+                   help="sample-mapping spec (TCWYT FrameMap), as in train/gan.py")
     p.add_argument("--vocab", default=None)
     p.add_argument("--dont_use_sent", action="store_true")
     p.add_argument("--data", required=True)
