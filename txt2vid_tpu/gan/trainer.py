@@ -171,12 +171,17 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
         # round-trip each on remote transports)
         host = jax.device_get([m for _, m in pending])
         for (it, _), m in zip(pending, host):
-            ld, lg = float(m["loss_d"]), float(m["loss_g"])
-            discrim_loss.update(ld)
-            gen_loss.update(lg)
-            if writer is not None:
-                writer.add_scalar("loss/discrim", ld, it)
-                writer.add_scalar("loss/gen", lg, it)
+            # scanned multi-step programs return metrics stacked (k,) in step
+            # order; it is the iteration of the LAST step in the chunk
+            ld_arr = np.atleast_1d(np.asarray(m["loss_d"], np.float64))
+            lg_arr = np.atleast_1d(np.asarray(m["loss_g"], np.float64))
+            for j, (ld, lg) in enumerate(zip(ld_arr, lg_arr)):
+                discrim_loss.update(float(ld))
+                gen_loss.update(float(lg))
+                if writer is not None:
+                    sub_it = it - (len(ld_arr) - 1 - j)
+                    writer.add_scalar("loss/discrim", float(ld), sub_it)
+                    writer.add_scalar("loss/gen", float(lg), sub_it)
         pending.clear()
 
     for epoch in range(num_epoch):
@@ -184,22 +189,26 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             status(f"Epoch {epoch + 1} started")
         data_watch.start()
         iter_watch.start()
+        k_step = getattr(params, "steps_per_dispatch", 1) or 1
         for i, batch in enumerate(dataset):
-            avg_data_load.update(data_watch.stop())
-            iteration += 1
+            avg_data_load.update(data_watch.stop() / k_step)
+            iteration += k_step
 
             state, metrics = train_step(state, batch, base_key)
             pending.append((iteration, metrics))
 
-            first = iteration == 1
+            # cadence checks fire when the period boundary falls inside this
+            # chunk of k_step iterations (== 0 for the k_step == 1 case)
+            first = iteration <= k_step
             if (first and params.save_initial) or (
                     params.save_model_period > 0
-                    and iteration % params.save_model_period == 0):
+                    and iteration % params.save_model_period < k_step
+                    and iteration >= params.save_model_period):
                 drain_pending()
                 name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
                 checkpointer.save(state, f"{params.out}/{name}")
 
-            if params.log_period > 0 and iteration % params.log_period == 0:
+            if params.log_period > 0 and iteration % params.log_period < k_step:
                 drain_pending()
                 status("[%d/%d; %d/%d] - Iter %d, Loss_D: %.4f Loss_G: %.4f - "
                        "%.4f sec/iter; %.4f sec/batch load" % (
@@ -209,8 +218,10 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
 
             if params.save_example_period > 0 and (
                     (first and params.save_initial_examples)
-                    or iteration % params.save_example_period == 0):
+                    or iteration % params.save_example_period < k_step):
                 status(f"saving samples to {params.out_samples} (iteration {iteration})")
+                if k_step > 1:   # stacked (k, B, ...) chunk: sample vs its last batch
+                    batch = jax.tree_util.tree_map(lambda x: x[-1], batch)
                 save_frames(np.asarray(batch["video"]),
                             f"{params.out_samples}/real_samples.png")
                 cond = None
@@ -235,7 +246,8 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                 on_iteration(iteration, state)
 
             data_watch.start()
-            avg_iter.update(iter_watch.stop())
+            # per-ITERATION time: one loop item is k_step train steps
+            avg_iter.update(iter_watch.stop() / k_step)
             iter_watch.start()
 
     drain_pending()

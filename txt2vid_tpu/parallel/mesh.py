@@ -59,20 +59,40 @@ def shard_train_state(state, mesh: Mesh):
 
 
 def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp",
-                     transform=None):
+                     transform=None, stack: int = 1):
     """Asynchronously place host batches onto the mesh (batch dim sharded over
     `axis_name`), keeping `depth` batches in flight ahead of the consumer.
 
     jax.device_put returns immediately; by the time the train step consumes a
     yielded batch its H2D copy has overlapped with the previous step's compute —
     the role of the reference's CUDA side-stream data_prefetcher
-    (data/__init__.py:131-156), without a synchronous placement in the hot loop."""
-    sh = batch_sharding(mesh, axis_name)
+    (data/__init__.py:131-156), without a synchronous placement in the hot loop.
+
+    stack > 1 groups `stack` consecutive batches into one leading-axis stack
+    (sharded P(None, axis)) for the scanned multi-step train program
+    (jit_scanned_train_step_sharded); a trailing partial group is dropped, like
+    a drop-last batch."""
+    if stack > 1:
+        sh = NamedSharding(mesh, P(None, axis_name))
+    else:
+        sh = batch_sharding(mesh, axis_name)
 
     def put(batch):
         if transform is not None:
             batch = transform(batch)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    if stack > 1:
+        def grouped(it):
+            import numpy as _np
+            group = []
+            for b in it:
+                group.append(b)
+                if len(group) == stack:
+                    yield jax.tree_util.tree_map(
+                        lambda *xs: _np.stack(xs), *group)
+                    group = []
+        iterator = grouped(iterator)
 
     buf = []
     for batch in iterator:
@@ -80,6 +100,25 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp"
         if len(buf) > depth:
             yield buf.pop(0)
     yield from buf
+
+
+def jit_scanned_train_step_sharded(train_step, k: int, mesh: Mesh,
+                                   axis_name: str = "dp"):
+    """Fuse k train steps into ONE dispatched program via lax.scan over a
+    leading-axis stack of k batches. Amortizes the fixed per-dispatch host/RPC
+    cost k-fold — the lever that matters on remote-transport backends where the
+    single-step program is already device-bound (scripts/profile_step.py).
+    Metrics come back stacked with leading dim k, in step order. The step folds
+    its own on-device counter, so the constant key keeps full randomness."""
+    def scanned(state, batches, key):
+        def body(s, b):
+            return train_step(s, b, key)
+        return jax.lax.scan(body, state, batches)
+
+    rep = replicated(mesh)
+    bs = NamedSharding(mesh, P(None, axis_name))
+    return jax.jit(scanned, in_shardings=(rep, bs, rep),
+                   out_shardings=(rep, rep), donate_argnums=(0,))
 
 
 def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp"):

@@ -154,7 +154,12 @@ def main(args):
         import contextlib
         sp_ctx = contextlib.nullcontext
     step_fn = build_train_step(gan, losses, optG, optD, config)
-    jitted_raw = jit_train_step_sharded(step_fn, mesh)
+    k_disp = max(args.steps_per_dispatch, 1)
+    if k_disp > 1:
+        from txt2vid_tpu.parallel.mesh import jit_scanned_train_step_sharded
+        jitted_raw = jit_scanned_train_step_sharded(step_fn, k_disp, mesh)
+    else:
+        jitted_raw = jit_train_step_sharded(step_fn, mesh)
 
     def jitted(*a):
         with sp_ctx():
@@ -170,14 +175,19 @@ def main(args):
 
     class LoaderAdapter:
         def __iter__(self):
-            # async sharded placement, >=2 batches in flight ahead of the step
-            return prefetch_to_mesh(iter(loader), mesh, depth=2,
-                                    transform=img_fix)
+            # async sharded placement, --prefetch batches in flight ahead of the
+            # step (each device_put's H2D overlaps earlier steps' compute; deeper
+            # pipelines hide more of a slow host->device transport). With
+            # --steps_per_dispatch k, k batches are stacked per dispatched
+            # scanned program.
+            return prefetch_to_mesh(iter(loader), mesh, depth=args.prefetch,
+                                    transform=img_fix, stack=k_disp)
 
         def __len__(self):
-            return len(loader)
+            return len(loader) // k_disp
 
     if args.test:
+        k_disp = 1   # sampling consumes plain batches, never scanned stacks
         trainer.test(gan=gan, state=state, num_samples=args.num_samples,
                      dataset=LoaderAdapter(), params=args, vocab=vocab)
     else:
@@ -196,6 +206,13 @@ def build_parser():
     parser.add_argument('--num_samples', type=int, default=1)
     parser.add_argument('--seed', type=int, default=None)
     parser.add_argument('--workers', type=int, default=2)
+    parser.add_argument('--prefetch', type=int, default=3,
+                        help='device-side batch prefetch depth (batches in '
+                             'flight ahead of the train step)')
+    parser.add_argument('--steps_per_dispatch', type=int, default=1,
+                        help='fuse k train steps into one dispatched lax.scan '
+                             'program (amortizes fixed per-dispatch cost; use '
+                             'periods divisible by k)')
     parser.add_argument('--frame_sizes', type=int, nargs='+', default=[64])
     parser.add_argument('--num_channels', type=int, default=1)
     parser.add_argument('--random_frames', type=int, default=0)
