@@ -54,6 +54,42 @@ def test_ring_under_full_jit_with_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=2e-4)
 
 
+def test_ring_pallas_path_grad_interpret():
+    """The Pallas block path must be reverse-differentiable (it was not in r1:
+    raw pallas_call has no AD rule — the --sp TPU training path would crash at
+    first compile). Kernel runs in interpret mode on CPU; gradients must match
+    the XLA path, including the lse-cotangent flowing through the ring merge."""
+    from txt2vid_tpu.ops import attention as A
+
+    n_dev = 2
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sp",))
+    # kernel block sizes need lane-aligned shapes: token dims multiples of 128
+    b, n, m, d, dv = 1, 256, 256, 8, 16
+
+    k = jax.random.key(2)
+    kt, kp, kg = jax.random.split(k, 3)
+    theta = jax.random.normal(kt, (b, n, d), jnp.float32)
+    phi = jax.random.normal(kp, (b, m, d), jnp.float32)
+    g = jax.random.normal(kg, (b, m, dv), jnp.float32)
+
+    def loss(fn):
+        return lambda t, p, gg: jnp.sum(fn(t, p, gg) ** 2)
+
+    prev = A.INTERPRET
+    A.INTERPRET = True
+    try:
+        ring_pallas = lambda t, p, gg: ring_attention(t, p, gg, mesh,
+                                                      use_pallas=True)
+        gr = jax.jit(jax.grad(loss(ring_pallas), argnums=(0, 1, 2)))(theta, phi, g)
+    finally:
+        A.INTERPRET = prev
+    ge = jax.grad(loss(lambda t, p, gg: attention_core(t, p, gg)),
+                  argnums=(0, 1, 2))(theta, phi, g)
+    for a, e in zip(gr, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=0,
+                                   atol=2e-3 * max(1.0, float(np.abs(e).max())))
+
+
 class TestModelPathSequenceParallel:
     """Ring attention reached FROM THE MODELS via the sequence_parallel trace-time
     context (VERDICT r1: ring was an orphaned op — nothing called it)."""

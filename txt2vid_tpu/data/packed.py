@@ -11,6 +11,7 @@ import ctypes
 import pickle
 import struct
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -192,6 +193,9 @@ class PackedVideoDataset:
         self.normalize = normalize           # False -> keep uint8 for host->device
         self.random_frames = bool(random_frames)
         self.rng = np.random.default_rng(seed)
+        # BatchLoader calls get_batch from several worker threads; numpy
+        # Generators are not thread-safe, so frame-index draws take this lock
+        self._rng_lock = threading.Lock()
 
         ids_path = Path(packed_path).with_suffix(".ids.pickle")
         id_map = None
@@ -226,8 +230,9 @@ class PackedVideoDataset:
         with per-item consumers (eval CLIs, Loader, benchmark). The hot training
         path should still use get_batch (one native gather per batch)."""
         vid = int(self.video_idx[idx])
-        fidx = pick_frames(self.reader.video_num_frames(vid), self.num_frames,
-                           random=self.random_frames, rng=self.rng)
+        with self._rng_lock:
+            fidx = pick_frames(self.reader.video_num_frames(vid), self.num_frames,
+                               random=self.random_frames, rng=self.rng)
         raw = self.reader.read_batch(np.asarray([vid], np.int64), fidx[None])[0]
         frames = transform_frames(raw, self.frame_size, self.num_channels,
                                   normalize=self.normalize)
@@ -237,10 +242,11 @@ class PackedVideoDataset:
 
     def get_batch(self, idxs, max_caption_len=32):
         vids = np.asarray([self.video_idx[i] for i in idxs], dtype=np.int64)
-        fidx = np.stack([
-            pick_frames(self.reader.video_num_frames(int(v)), self.num_frames,
-                        random=self.random_frames, rng=self.rng)
-            for v in vids])
+        with self._rng_lock:
+            fidx = np.stack([
+                pick_frames(self.reader.video_num_frames(int(v)), self.num_frames,
+                            random=self.random_frames, rng=self.rng)
+                for v in vids])
         raw = self.reader.read_batch(vids, fidx)
         b, t = raw.shape[:2]
         frames = transform_frames(raw.reshape((-1,) + raw.shape[2:]),

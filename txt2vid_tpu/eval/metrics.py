@@ -78,6 +78,9 @@ def extract_features(videos, params=None, model=None, batch_size: int = 32):
     return np.concatenate(feats), params
 
 
+_discrim_fwd_cache = {}
+
+
 def discrim_features(gan, state, videos, batch_size: int = 32):
     """(N, T, H, W, C) -> (N, D) features from the TRAINED discriminator backbone
     (Resnet3D global-sum-pooled features, resnet3d.py dual-head input) — the
@@ -86,14 +89,20 @@ def discrim_features(gan, state, videos, batch_size: int = 32):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def fwd(v):
-        preds = gan.apply_discrim(0, state.d_vars[0], [v], None, train=False)
-        return preds[0][2]
+    # one jitted forward per gan object: a fresh closure per call would defeat
+    # the jit cache and recompile for the real and fake sets separately
+    fwd = _discrim_fwd_cache.get(id(gan))
+    if fwd is None:
+        def fwd(d_vars, v):
+            preds = gan.apply_discrim(0, d_vars, [v], None, train=False)
+            return preds[0][2]
+        fwd = jax.jit(fwd)
+        _discrim_fwd_cache[id(gan)] = fwd
 
     feats = []
     for i in range(0, len(videos), batch_size):
-        feats.append(np.asarray(fwd(jnp.asarray(videos[i:i + batch_size]))))
+        feats.append(np.asarray(fwd(state.d_vars[0],
+                                    jnp.asarray(videos[i:i + batch_size]))))
     return np.concatenate(feats)
 
 

@@ -196,6 +196,11 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
 
             state, metrics = train_step(state, batch, base_key)
             pending.append((iteration, metrics))
+            if len(pending) >= 512:
+                # bound the pending-metrics buffer even when every cadence is
+                # disabled (log/save periods 0) — otherwise device scalars
+                # accumulate for the whole run
+                drain_pending()
 
             # cadence checks fire when the period boundary falls inside this
             # chunk of k_step iterations (== 0 for the k_step == 1 case)

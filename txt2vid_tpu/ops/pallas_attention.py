@@ -20,6 +20,19 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
+def _vma_of(*arrays):
+    """Union of the inputs' varying-mesh-axes sets. Inside shard_map (the ring
+    attention per-block call) outputs must declare how they vary over mesh axes;
+    outside shard_map this is the empty set."""
+    vma = set()
+    for a in arrays:
+        try:
+            vma |= set(jax.typeof(a).vma)
+        except Exception:
+            pass
+    return frozenset(vma)
+
+
 def _pick_block(n: int, target: int) -> int:
     b = min(n, target)
     while n % b != 0:
@@ -99,8 +112,9 @@ def fused_attention(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
             pl.BlockSpec((1, bn, 1), lambda bi, i, j: (bi, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, dv), g.dtype),
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, dv), g.dtype, vma=_vma_of(theta, phi, g)),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32,
+                                 vma=_vma_of(theta, phi, g)),
         ],
         scratch_shapes=[
             pltpu.VMEM((bn, _LANES), jnp.float32),   # running max

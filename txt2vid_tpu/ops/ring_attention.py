@@ -25,13 +25,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _block_attention(theta, phi_c, g_c, use_pallas: bool):
-    """One (N_loc, M_loc) attention block -> (o_unnormalized-by-global-lse, lse).
-    Returns o in f32 normalized by this block's own lse, plus that lse."""
-    if use_pallas:
-        from txt2vid_tpu.ops.pallas_attention import fused_attention
-        o, lse = fused_attention(theta, phi_c, g_c, return_lse=True)
-        return o.astype(jnp.float32), lse
+def _block_attention_xla(theta, phi_c, g_c):
+    """Stable two-pass XLA softmax block (differentiable by construction)."""
     s = jnp.einsum("bnd,bmd->bnm", theta, phi_c,
                    preferred_element_type=jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -42,6 +37,20 @@ def _block_attention(theta, phi_c, g_c, use_pallas: bool):
     return o, (m + jnp.log(l))[..., 0]
 
 
+def _block_attention(theta, phi_c, g_c, use_pallas: bool):
+    """One (N_loc, M_loc) attention block -> (o normalized by this block's own
+    lse, lse). Differentiability of the Pallas path is provided at the
+    ring_attention boundary (custom VJP with XLA-block recompute) — a custom_vjp
+    INSIDE shard_map is not reverse-differentiable in current JAX."""
+    if use_pallas:
+        from txt2vid_tpu.ops import attention as A
+        from txt2vid_tpu.ops.pallas_attention import fused_attention
+        o, lse = fused_attention(theta, phi_c, g_c, return_lse=True,
+                                 interpret=A.INTERPRET)
+        return o.astype(jnp.float32), lse
+    return _block_attention_xla(theta, phi_c, g_c)
+
+
 def _merge(o_a, lse_a, o_b, lse_b):
     lse = jnp.logaddexp(lse_a, lse_b)
     wa = jnp.exp(lse_a - lse)[..., None]
@@ -50,7 +59,7 @@ def _merge(o_a, lse_a, o_b, lse_b):
 
 
 def _local_ring_attention(theta, phi, g, axis_name: str, use_pallas: bool,
-                          varying_axes=()):
+                          varying_axes=(), typed: bool = True):
     """Per-shard body: N_local queries attend over all M as KV blocks rotate."""
     n_dev = jax.lax.axis_size(axis_name)
     b, n_loc, _ = theta.shape
@@ -71,6 +80,8 @@ def _local_ring_attention(theta, phi, g, axis_name: str, use_pallas: bool,
     # shard owns its own running softmax state) — fresh constants default to
     # unvarying, which would mismatch the loop-body outputs
     def varying(x):
+        if not typed:   # check_vma=False shard_map: no varying-axis typing
+            return x
         return jax.lax.pcast(x, (axis_name,) + tuple(varying_axes), to="varying")
 
     init = (
@@ -90,12 +101,40 @@ def ring_attention(theta, phi, g, mesh: Mesh, axis_name: str = "sp",
     if batch_axis is not None and theta.shape[0] % mesh.shape[batch_axis] != 0:
         batch_axis = None
     spec = P(batch_axis, axis_name, None)
-    fn = jax.shard_map(
-        functools.partial(_local_ring_attention, axis_name=axis_name,
-                          use_pallas=use_pallas,
-                          varying_axes=(batch_axis,) if batch_axis else ()),
-        mesh=mesh,
-        in_specs=(spec,) * 3,
-        out_specs=spec,
-    )
-    return fn(theta, phi, g)
+
+    def run(pallas: bool):
+        # check_vma=False on the Pallas path: pallas_call (and its interpret
+        # mode) does not propagate shard_map's varying-axis types — JAX's own
+        # error message prescribes this flag as the workaround
+        return jax.shard_map(
+            functools.partial(_local_ring_attention, axis_name=axis_name,
+                              use_pallas=pallas,
+                              varying_axes=(batch_axis,) if batch_axis else (),
+                              typed=not pallas),
+            mesh=mesh,
+            in_specs=(spec,) * 3,
+            out_specs=spec,
+            check_vma=not pallas,
+        )
+
+    if not use_pallas:
+        return run(False)(theta, phi, g)
+
+    # Pallas forward; backward = XLA-block ring recompute. The VJP boundary sits
+    # OUTSIDE shard_map (custom_vjp inside shard_map is not differentiable in
+    # current JAX), and the recompute stays blockwise — per-rotation
+    # (N_loc, M_loc) tiles, never the full (N, M) map.
+    @jax.custom_vjp
+    def ring_pallas(t, p, gg):
+        return run(True)(t, p, gg)
+
+    def fwd(t, p, gg):
+        return ring_pallas(t, p, gg), (t, p, gg)
+
+    def bwd(res, do):
+        t, p, gg = res
+        _, vjp = jax.vjp(run(False), t, p, gg)
+        return vjp(do)
+
+    ring_pallas.defvjp(fwd, bwd)
+    return ring_pallas(theta, phi, g)

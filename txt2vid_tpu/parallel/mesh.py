@@ -78,9 +78,12 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp"
         sh = batch_sharding(mesh, axis_name)
 
     def put(batch):
-        if transform is not None:
-            batch = transform(batch)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    if transform is not None:
+        # per-BATCH transform (e.g. the img_model frame slice) must see plain
+        # (B, ...) batches, so it runs before any stacking
+        iterator = (transform(b) for b in iterator)
 
     if stack > 1:
         def grouped(it):
