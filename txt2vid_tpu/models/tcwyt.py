@@ -8,6 +8,11 @@ Deviations from the reference, deliberate and documented:
   * FrameDiscrim / MotionDiscrim return (B, T[-1]) logits; the reference's per-pixel
     Python tiling loops (frame_discrim.py:79-81, motion_discrim.py:43-45) are a single
     broadcast, and the per-frame Python loop is a batch fold.
+  * BatchNorm statistics in FrameMap/FrameDiscrim/MotionDiscrim: the reference's
+    per-frame loop computes BN batch statistics PER FRAME (batch = B for each t);
+    the batch fold here normalizes over (B*T) jointly — a larger, lower-variance
+    statistic. Eval-mode (running-stats) behavior is exactly equivalent
+    (tests/test_reference_parity.py asserts it); train-mode dynamics differ slightly.
 """
 
 from typing import Any
