@@ -650,3 +650,230 @@ class TestGradientPenalty:
             d_fn_for_scale, jax.random.PRNGKey(0),
             [vid_t2j(r) for r in reals], [vid_t2j(f) for f in fakes])
         assert_close(gp, gp_ref, tol=1e-5, what="multiscale gp")
+
+
+# ---------------------------------------------------------------------------
+# TCWYT / TGAN generators (reference models/tcwyt/gen.py, models/tgan/)
+# ---------------------------------------------------------------------------
+
+class TestGenerators:
+    def test_tcwyt_gen(self):
+        from txt2vid.models.tcwyt.gen import Gen as Ref
+        from txt2vid_tpu.models.tcwyt import Gen
+        rng = np.random.default_rng(14)
+        z_size, cond_dim = 10, 6
+        ref = Ref(z_size=z_size, cond_dim=cond_dim, num_channels=3,
+                  scale_factor=0.125).double().train()
+        z = _rand(rng, 4, z_size)
+        cond = _rand(rng, 4, cond_dim)
+        y_ref = ref(z, cond=cond)  # (B, 3, 16, 48, 48)
+        seq = ref.seq
+        p = {"input_map": dense_w(ref.input_map[0]), "input_bn": bn_p(ref.input_map[1]),
+             "dc0": convT_p(seq[0]), "bn0": bn_p(seq[1]),
+             "dc1": convT_p(seq[3]), "bn1": bn_p(seq[4]),
+             "dc2": convT_p(seq[6]), "bn2": bn_p(seq[7]),
+             "dc3": convT_p(seq[9]), "bn3": bn_p(seq[10]),
+             "dc4": convT_p(seq[12])}
+        s = {"input_bn": bn_s(ref.input_map[1]), "bn0": bn_s(seq[1]),
+             "bn1": bn_s(seq[4]), "bn2": bn_s(seq[7]), "bn3": bn_s(seq[10])}
+        m = Gen(z_size=z_size, cond_dim=cond_dim, num_channels=3, scale_factor=0.125)
+        y, _ = m.apply({"params": p, "batch_stats": s}, jnp.asarray(t2n(z)),
+                       jnp.asarray(t2n(cond)), train=True, mutable=["batch_stats"])
+        assert_close(np.asarray(y).transpose(0, 4, 1, 2, 3), y_ref, tol=1e-6,
+                     what="tcwyt gen")
+
+    def test_tgan_gen_with_cond(self):
+        from txt2vid.models.tgan.gen import Gen as Ref
+        from txt2vid_tpu.models.tgan import Gen
+        rng = np.random.default_rng(15)
+        ref = Ref(z_slow_dim=8, z_fast_dim=8, cond_dim=4, out_channels=3,
+                  bottom_width=4, conv_ch=32).double().train()
+        z = _rand(rng, 3, 8)
+        cond = _rand(rng, 3, 4)
+        y_ref = ref(z, cond=cond)  # (B, C, T, 64, 64)
+
+        fs, vg = ref._fsgen, ref._vgen
+        p_fs = {"dc0": convT_p(fs.dc0), "bn0": bn_p(fs.bn0),
+                "dc1": convT_p(fs.dc1), "bn1": bn_p(fs.bn1),
+                "dc2": convT_p(fs.dc2), "bn2": bn_p(fs.bn2),
+                "dc3": convT_p(fs.dc3), "bn3": bn_p(fs.bn3),
+                "dc4": convT_p(fs.dc4)}
+        s_fs = {f"bn{i}": bn_s(getattr(fs, f"bn{i}")) for i in range(4)}
+        # torch views the (B, mid) dense output as (C, bw, bw) c-major; ours
+        # reshapes to (bw, bw, C) — permute the dense/BN output indices to match.
+        bw, ch = 4, 32
+        perm = np.arange(bw * bw * ch // 2).reshape(ch // 2, bw, bw) \
+            .transpose(1, 2, 0).reshape(-1)
+
+        def dense_perm(m):
+            d = dense_w(m)
+            return {"kernel": d["kernel"][:, perm], "bias": d["bias"][perm]}
+
+        def bn_perm(fn, m):
+            return {k: v[perm] for k, v in fn(m).items()}
+
+        p_vg = {"l0s": dense_perm(vg.l0s), "l0f": dense_perm(vg.l0f),
+                "bn0s": bn_perm(bn_p, vg.bn0s), "bn0f": bn_perm(bn_p, vg.bn0f)}
+        s_vg = {"bn0s": bn_perm(bn_s, vg.bn0s), "bn0f": bn_perm(bn_s, vg.bn0f)}
+        for i in range(1, 5):
+            p_vg[f"dc{i}"] = convT_p(getattr(vg, f"dc{i}"))
+            p_vg[f"bn{i}"] = bn_p(getattr(vg, f"bn{i}"))
+            s_vg[f"bn{i}"] = bn_s(getattr(vg, f"bn{i}"))
+        p_vg["dc5"] = convT_p(vg.dc5)
+
+        m = Gen(z_slow_dim=8, z_fast_dim=8, cond_dim=4, out_channels=3,
+                bottom_width=4, conv_ch=32)
+        y, _ = m.apply({"params": {"fsgen": p_fs, "vgen": p_vg},
+                        "batch_stats": {"fsgen": s_fs, "vgen": s_vg}},
+                       jnp.asarray(t2n(z)), jnp.asarray(t2n(cond)), train=True,
+                       mutable=["batch_stats"])
+        # ours (B, T, H, W, C) vs ref (B, C, T, H, W)
+        assert_close(np.asarray(y).transpose(0, 4, 1, 2, 3), y_ref, tol=1e-6,
+                     what="tgan gen")
+        # documented reference quirk: the fast-path BN in VideoFrameGenerator sees
+        # (B*T) rows because time is folded into batch BEFORE the decoder — same
+        # fold in both implementations, so train-mode stats agree exactly.
+
+
+# ---------------------------------------------------------------------------
+# image WGAN-GP pair (reference models/img/models.py)
+# ---------------------------------------------------------------------------
+
+def _img_upblock_p(rb):
+    p = {"conv_shortcut": conv_p(rb.conv_shortcut.conv.conv),
+         "conv1": conv_p(rb.conv_1.conv.conv), "conv2": conv_p(rb.conv_2.conv),
+         "bn1": bn_p(rb.bn1), "bn2": bn_p(rb.bn2)}
+    s = {"bn1": bn_s(rb.bn1), "bn2": bn_s(rb.bn2)}
+    return p, s
+
+
+def _ln_p(m):
+    """torch LayerNorm([C, H, W]) affine -> ours (H, W, C)."""
+    return {"scale": t2n(m.weight).transpose(1, 2, 0),
+            "bias": t2n(m.bias).transpose(1, 2, 0)}
+
+
+def _img_downblock_p(rb):
+    return {"conv_shortcut": conv_p(rb.conv_shortcut.conv.conv),
+            "conv1": conv_p(rb.conv_1.conv), "conv2": conv_p(rb.conv_2.conv.conv),
+            "ln1": _ln_p(rb.bn1), "ln2": _ln_p(rb.bn2)}
+
+
+class TestImgModels:
+    def test_gen(self):
+        from txt2vid.models.img.models import Gen as Ref
+        from txt2vid_tpu.models.img import Gen
+        rng = np.random.default_rng(16)
+        ref = Ref().double().train()
+        ref.dim = 64
+        z = _rand(rng, 2, 128)
+        y_ref = ref(z)  # (B, 3, 64, 64)
+        d = 64
+        # ln1 rows are (c, h, w)-major in torch, (h, w, c)-major in ours
+        w = t2n(ref.ln1.weight)          # (4*4*8d, 128)
+        w = w.reshape(8 * d, 4, 4, 128).transpose(1, 2, 0, 3).reshape(-1, 128)
+        b = t2n(ref.ln1.bias).reshape(8 * d, 4, 4).transpose(1, 2, 0).reshape(-1)
+        p = {"ln1": {"kernel": w.T, "bias": b}, "bn": bn_p(ref.bn),
+             "conv1": conv_p(ref.conv1.conv)}
+        s = {"bn": bn_s(ref.bn)}
+        for i in range(1, 5):
+            p[f"rb{i}"], s[f"rb{i}"] = _img_upblock_p(getattr(ref, f"rb{i}"))
+        m = Gen()
+        y, _ = m.apply({"params": p, "batch_stats": s}, jnp.asarray(t2n(z)),
+                       train=True, mutable=["batch_stats"])
+        assert_close(np.asarray(y).transpose(0, 3, 1, 2), y_ref, tol=1e-6,
+                     what="img gen")
+
+    def test_discrim(self):
+        from txt2vid.models.img.models import Discrim as Ref
+        from txt2vid_tpu.models.img import Discrim
+        rng = np.random.default_rng(17)
+        ref = Ref().double().eval()
+        x = _rand(rng, 2, 3, 64, 64)
+        with torch.no_grad():
+            y_ref = ref(x=x)
+        d = 64
+        w = t2n(ref.ln1.weight)          # (1, 4*4*8d), rows (c,h,w)-major
+        w = w.reshape(1, 8 * d, 4, 4).transpose(0, 2, 3, 1).reshape(1, -1)
+        p = {"conv1": conv_p(ref.conv1.conv),
+             "ln1": {"kernel": w.T, "bias": t2n(ref.ln1.bias)}}
+        for i in range(1, 5):
+            p[f"rb{i}"] = _img_downblock_p(getattr(ref, f"rb{i}"))
+        y = Discrim().apply({"params": p}, img_t2j(x))
+        assert_close(y, y_ref, tol=1e-5, what="img discrim")
+
+
+# ---------------------------------------------------------------------------
+# Bi-LSTM sentence encoder (reference models/txt/basic.py)
+# ---------------------------------------------------------------------------
+
+def _lstm_layer_p(ref_lstm, layer, reverse):
+    sfx = f"_l{layer}" + ("_reverse" if reverse else "")
+    w_ih = t2n(getattr(ref_lstm, f"weight_ih{sfx}"))   # (4H, in) gates i,f,g,o
+    w_hh = t2n(getattr(ref_lstm, f"weight_hh{sfx}"))
+    b = t2n(getattr(ref_lstm, f"bias_ih{sfx}")) + t2n(getattr(ref_lstm, f"bias_hh{sfx}"))
+    hdim = w_hh.shape[1]
+    cell = {}
+    for gi, g in enumerate(("i", "f", "g", "o")):
+        sl = slice(gi * hdim, (gi + 1) * hdim)
+        cell[f"i{g}"] = {"kernel": w_ih[sl].T}
+        cell[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+    return {"cell": cell}
+
+
+def _seq2seq_params(ref):
+    enc = {"embed": {"embedding": t2n(ref.encoder.embed.weight)}}
+    for i in range(ref.encoder.num_layers):
+        enc[f"l{i}_fwd"] = _lstm_layer_p(ref.encoder.lstm, i, False)
+        enc[f"l{i}_bwd"] = _lstm_layer_p(ref.encoder.lstm, i, True)
+    if ref.encoder.is_decoder:
+        enc["to_vocab"] = dense_w(ref.encoder.to_vocab)
+    return {"encoder": enc}
+
+
+class TestTxtEncoder:
+    def test_encode_ragged_lengths_and_hn(self):
+        from txt2vid.models.txt.basic import Seq2Seq as Ref
+        from txt2vid_tpu.models.txt import Seq2Seq
+        rng = np.random.default_rng(18)
+        vocab = 13
+        ref = Ref(vocab_size=vocab).double()
+        lengths = [6, 4, 3]  # desc-sorted, as the reference collate guarantees
+        toks = torch.tensor(rng.integers(0, vocab, (3, 6)), dtype=torch.long)
+        with torch.no_grad():
+            out_ref, _, hn_ref = ref.encode(toks, lengths=lengths)
+        m = Seq2Seq(vocab_size=vocab)
+        p = _seq2seq_params(ref)
+        # explicit f64 zero carries: flax RNN's default zero-carry is param_dtype
+        # (f32), which under x64 would clash with the f64 scan outputs
+        zero = (jnp.zeros((3, 128)), jnp.zeros((3, 128)))
+        init_state = [(zero, zero)] * 4
+        out, _, hn = m.apply(
+            {"params": p}, jnp.asarray(toks.numpy()),
+            jnp.asarray(np.array(lengths)), init_state,
+            method=lambda mdl, x, l, st: mdl.encoder(x, lengths=l,
+                                                     initial_state=st))
+        assert_close(hn, hn_ref, tol=1e-6, what="seq2seq hn")
+        # per-sample valid positions only (padded tail semantics differ: torch
+        # zeros them, our scan keeps computing)
+        for bi, L in enumerate(lengths):
+            assert_close(np.asarray(out)[bi, :L], out_ref[bi, :L], tol=1e-6,
+                         what=f"seq2seq out[{bi}]")
+
+    def test_teacher_forced_decode(self):
+        from txt2vid.models.txt.basic import Seq2Seq as Ref
+        from txt2vid_tpu.models.txt import Seq2Seq
+        rng = np.random.default_rng(19)
+        vocab = 13
+        ref = Ref(vocab_size=vocab).double()
+        toks = torch.tensor(rng.integers(0, vocab, (2, 5)), dtype=torch.long)
+        with torch.no_grad():
+            raw_ref, sym_ref = ref.decode(true_inputs=toks, max_seq_len=5,
+                                          teacher_force=True)
+        m = Seq2Seq(vocab_size=vocab)
+        p = _seq2seq_params(ref)
+        raw, sym = m.apply({"params": p}, jnp.asarray(toks.numpy()),
+                           max_seq_len=5, teacher_force=True,
+                           method=Seq2Seq.decode)
+        assert_close(raw, raw_ref, tol=1e-6, what="decode raw")
+        np.testing.assert_array_equal(np.asarray(sym), t2n(sym_ref))

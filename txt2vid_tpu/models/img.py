@@ -52,6 +52,7 @@ class ResidualBlockDown(nn.Module):
         ki = make_kernel_init(self.init_method)
         ln = lambda name: nn.LayerNorm(reduction_axes=(-3, -2, -1),
                                        feature_axes=(-3, -2, -1),
+                                       epsilon=1e-5,  # torch LayerNorm eps
                                        dtype=self.dtype, name=name)
         shortcut = nn.Conv(self.out_dim, (1, 1), kernel_init=ki, dtype=self.dtype,
                            name="conv_shortcut")(_mean_pool(x))
