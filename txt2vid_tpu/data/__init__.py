@@ -19,8 +19,6 @@ Components:
 """
 
 import pickle
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -140,6 +138,13 @@ def transform_frames(frames: np.ndarray, frame_size: int | None,
     default_transform, data/__init__.py:357-370). normalize=False keeps uint8 —
     the train step normalizes on-device, quartering host->device traffic."""
     t, h, w, c = frames.shape
+    if frame_size is not None and (h < frame_size or w < frame_size):
+        # torchvision CenterCrop pads smaller images with zeros before cropping
+        # (the reference's CIFAR-10 32px -> 64px path, data/__init__.py:357-374)
+        ph, pw = max(0, frame_size - h), max(0, frame_size - w)
+        frames = np.pad(frames, ((0, 0), (ph // 2, ph - ph // 2),
+                                 (pw // 2, pw - pw // 2), (0, 0)))
+        t, h, w, c = frames.shape
     if frame_size is not None and (h != frame_size or w != frame_size):
         top = max(0, (h - frame_size) // 2)
         left = max(0, (w - frame_size) // 2)
@@ -252,23 +257,20 @@ class Loader:
             items = [self.dataset[int(i)] for i in idxs]
             return collate(items, self.max_caption_len)
 
+        # Bounded decode-ahead: at most num_workers + 1 decoded batches in flight
+        # plus device_prefetch + 1 device-side — a slow consumer can never pile the
+        # whole epoch up on the host (the BatchLoader pattern).
+        slices = list(self._batches())
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-            futures = queue.Queue()
-
-            def submit_all():
-                for idxs in self._batches():
-                    futures.put(ex.submit(load_batch, idxs))
-                futures.put(None)
-
-            t = threading.Thread(target=submit_all, daemon=True)
-            t.start()
-
+            ahead = self.num_workers + 1
+            futs = [ex.submit(load_batch, s) for s in slices[:ahead]]
+            nxt = ahead
             pending = []
-            while True:
-                fut = futures.get()
-                if fut is None:
-                    break
-                batch = fut.result()
+            while futs:
+                batch = futs.pop(0).result()
+                if nxt < len(slices):
+                    futs.append(ex.submit(load_batch, slices[nxt]))
+                    nxt += 1
                 # async H2D: device_put returns immediately; keeping `device_prefetch`
                 # batches in flight overlaps the copy with the train step (the
                 # reference's CUDA-side-stream prefetcher, data/__init__.py:131-156)
