@@ -275,9 +275,25 @@ class TestShardedStep:
                 # for noise while a sum-vs-mean dp bug puts every leaf at ~7.
                 dist = np.linalg.norm(a - c)
                 denom = max(np.linalg.norm(a), np.linalg.norm(c), 1e-12)
-                assert dist / denom < 2e-2 or dist < 1e-6, \
+                # G/D leaves are stable ~1e-3; the txt encoder's gradients flow
+                # through BOTH GAN phases on near-zero magnitudes, and its Adam
+                # updates amplify fp32 reduction-order noise nondeterministically
+                # (observed 5e-3..2e-2 across runs under host contention). A
+                # sum-vs-mean dp bug registers ~7 on every leaf.
+                l2_tol = 5e-2 if name == "txt" else 5e-3
+                assert dist / denom < l2_tol or dist < 1e-6, \
                     f"{name} param deltas diverge dp1 vs dp8 " \
                     f"(rel L2 {dist / denom:.3g})"
+                # quantile-based elementwise check: the bulk of elements must
+                # agree tightly even if a few near-zero-gradient ones are noisy
+                # (observed noise: up to ~5e-3 rel-L2 on the txt encoder leaves;
+                # a sum-vs-mean dp bug registers ~7 — 1e-2 keeps 700x margin)
+                escale = max(np.abs(a).max(), np.abs(c).max(), 1e-12)
+                if escale > 1e-6:   # skip effectively-unchanged leaves
+                    q99 = np.quantile(np.abs(a - c), 0.99)
+                    q_tol = 5e-2 if name == "txt" else 1e-2
+                    assert q99 / escale < q_tol, \
+                        f"{name} elementwise q99 {q99 / escale:.3g} too large"
             assert got_nonzero, f"{name} got no update at all"
 
 

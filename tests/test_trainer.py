@@ -7,6 +7,7 @@ import types
 import jax
 import jax.numpy as jnp
 import numpy as np
+from pathlib import Path
 import optax
 
 from txt2vid_tpu.gan import losses as L, trainer
@@ -56,9 +57,11 @@ def test_train_loop_and_restore(tmp_path):
 
     # checkpoint written with loss-encoded name and restorable
     ckpt = latest_checkpoint(params.out)
-    assert ckpt is not None and "iter_3" in ckpt
+    # periodic checkpoint at iter_3 plus the end-of-training save at iter_4
+    assert ckpt is not None and "iter_4" in ckpt
+    assert any("iter_3" in str(c) for c in Path(params.out).iterdir())
     restored = restore_state(jax.device_get(state), ckpt)
-    assert int(restored.step) == 3
+    assert int(restored.step) == 4
 
     # sample dumps exist
     files = os.listdir(params.out_samples)
@@ -114,6 +117,8 @@ def test_train_loop_scanned_steps(tmp_path):
                           dataset=StackedLoader(), params=params, seed=0)
     assert int(final.step) == 6          # 3 chunks x 2 steps
     ckpt = latest_checkpoint(params.out)
-    assert ckpt is not None and "iter_4" in ckpt   # period-4 boundary hit
+    # period-4 boundary checkpoint plus the end-of-training save at iter_6
+    assert ckpt is not None and "iter_6" in ckpt
+    assert any("iter_4" in str(c) for c in Path(params.out).iterdir())
     files = os.listdir(params.out_samples)
     assert any(f.startswith("fake_samples") for f in files)

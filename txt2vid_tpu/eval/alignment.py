@@ -74,10 +74,17 @@ def classify_batch(videos) -> np.ndarray:
     return np.asarray([classify_motion(np.asarray(v))[0] for v in videos])
 
 
-def _digit_templates(size: int = 28):
-    from txt2vid_tpu.data.synthetic import _glyph_digits
-    glyphs = _glyph_digits(size)
-    t = np.stack([g[0].astype(np.float32) / 255.0 for g in glyphs.values()])
+def _digit_templates(size: int = 28, mnist_path=None):
+    """Per-digit correlation templates, keyed off the RUN'S glyph source: pass the
+    same --mnist path the data generator was given (data/synthetic.py:83-92) so a
+    model trained on MNIST glyphs is scored against MNIST templates (per-class
+    mean), and a PIL-font run against the PIL glyphs — not a mismatched set."""
+    from txt2vid_tpu.data.synthetic import _glyph_digits, _mnist_digits
+    glyphs = _mnist_digits(mnist_path, size) if mnist_path else None
+    if glyphs is None:
+        glyphs = _glyph_digits(size)
+    t = np.stack([np.mean([g.astype(np.float32) / 255.0 for g in gs], axis=0)
+                  for gs in glyphs.values()])
     t -= t.mean(axis=(1, 2), keepdims=True)
     return t / (np.linalg.norm(t.reshape(10, -1), axis=1)[:, None, None] + 1e-8)
 
@@ -111,7 +118,7 @@ def classify_digit(video: np.ndarray, templates=None) -> int:
 
 
 def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
-                     seed: int = 0, batch_size: int = 40):
+                     seed: int = 0, batch_size: int = 40, mnist_path=None):
     """Generate k_per_class videos per motion class (digits cycled, fresh z each),
     classify, and report 4-way + axis-only accuracy with a confusion matrix."""
     import jax
@@ -138,7 +145,7 @@ def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
 
     digit_labels = np.asarray([digits[k % len(digits)]
                                for _ in MOTION_CLASSES for k in range(k_per_class)])
-    templates = _digit_templates()
+    templates = _digit_templates(mnist_path=mnist_path)
 
     key = jax.random.key(seed)
     preds, digit_preds, conds = [], [], []
@@ -176,7 +183,8 @@ def alignment_report(gan, state, vocab, k_per_class: int = 32, digits=range(10),
             "n": int(len(labels)), "confusion": conf.tolist()}
 
 
-def real_data_ceiling(video_dir, sent_pickle, n: int = 200, num_frames: int = 16):
+def real_data_ceiling(video_dir, sent_pickle, n: int = 200, num_frames: int = 16,
+                      mnist_path=None):
     """Classifier sanity ceiling: accuracy of classify_motion on REAL clips vs
     their own captions (upper bound for the generated-sample metric)."""
     from txt2vid_tpu.data import load_video_frames
@@ -184,7 +192,7 @@ def real_data_ceiling(video_dir, sent_pickle, n: int = 200, num_frames: int = 16
     from pathlib import Path
 
     sents = load_pickle(sent_pickle)
-    templates = _digit_templates()
+    templates = _digit_templates(mnist_path=mnist_path)
     ok = ok_digit = total = 0
     for vid, caps in list(sents.items())[:n]:
         cls = caption_motion_class(caps[0])
@@ -236,9 +244,11 @@ def main(args):
     state = restore_state(state, args.weights)
 
     report = alignment_report(gan, state, vocab, k_per_class=args.k_per_class,
-                              seed=args.seed, batch_size=args.batch_size)
+                              seed=args.seed, batch_size=args.batch_size,
+                              mnist_path=args.mnist)
     if args.real_videos:
-        report.update(real_data_ceiling(args.real_videos, args.real_sents))
+        report.update(real_data_ceiling(args.real_videos, args.real_sents,
+                                        mnist_path=args.mnist))
     print(json.dumps(report, indent=2))
 
 
@@ -260,4 +270,7 @@ if __name__ == "__main__":
     p.add_argument("--real_videos", default=None,
                    help="optional real video dir for the classifier ceiling")
     p.add_argument("--real_sents", default=None)
+    p.add_argument("--mnist", default=None,
+                   help="raw-MNIST dir IF the training data was generated with "
+                        "--mnist (keys digit templates to the run's glyph source)")
     main(p.parse_args())

@@ -78,7 +78,11 @@ def extract_features(videos, params=None, model=None, batch_size: int = 32):
     return np.concatenate(feats), params
 
 
-_discrim_fwd_cache = {}
+import weakref
+
+# weak keys: the cached jitted closure must not pin finished CondGan objects
+# alive in long-lived processes
+_discrim_fwd_cache = weakref.WeakKeyDictionary()
 
 
 def discrim_features(gan, state, videos, batch_size: int = 32):
@@ -91,13 +95,13 @@ def discrim_features(gan, state, videos, batch_size: int = 32):
 
     # one jitted forward per gan object: a fresh closure per call would defeat
     # the jit cache and recompile for the real and fake sets separately
-    fwd = _discrim_fwd_cache.get(id(gan))
+    fwd = _discrim_fwd_cache.get(gan)
     if fwd is None:
         def fwd(d_vars, v):
             preds = gan.apply_discrim(0, d_vars, [v], None, train=False)
             return preds[0][2]
         fwd = jax.jit(fwd)
-        _discrim_fwd_cache[id(gan)] = fwd
+        _discrim_fwd_cache[gan] = fwd
 
     feats = []
     for i in range(0, len(videos), batch_size):

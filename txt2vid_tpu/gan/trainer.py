@@ -105,28 +105,36 @@ def sample(gan, state, batch_size: int, key, cond=None):
 
 
 def test(gan=None, state=None, num_samples=1, dataset=None, params=None, vocab=None):
-    """Sampling mode (reference trainer.py:44-90)."""
+    """Sampling mode (reference trainer.py:44-90; its inner dataset loop broke
+    after one batch so every round re-sampled the same data — here each of the
+    `num_samples` rounds consumes a fresh batch, wrapping the epoch if needed,
+    and outputs are named consistently per round: real_{i}.png, sentences_{i}.txt,
+    fake_{i}_{H}x{W}.jpg)."""
     ensure_exists(params.out_samples)
     key = jax.random.key(getattr(params, "seed", 0) or 0)
+    it = iter(dataset)
     for i in range(num_samples):
-        for j, batch in enumerate(dataset):
-            x = np.asarray(batch["video"])
-            cond = None
-            if gan.cond_encoder is not None and "captions" in batch:
-                cond = _jitted_encode(gan)(state.txt_vars, batch["captions"],
-                                           batch["lengths"])
-            key, k = jax.random.split(key)
-            fakes = sample(gan, state, x.shape[0], k, cond=cond)
-            save_frames(x, f"{params.out_samples}/real_{i}.png")
-            if cond is not None and vocab is not None:
-                save_sentences(batch["captions"],
-                               f"{params.out_samples}/sentences_{i}_{j}.txt", vocab)
-            for f in fakes:
-                h, w = f.shape[-3], f.shape[-2]
-                path = f"{params.out_samples}/{h}x{w}_{i}_{j}.jpg"
-                status(f"saving to {path}")
-                save_frames(np.asarray(f), path)
-            break
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(dataset)
+            batch = next(it)
+        x = np.asarray(batch["video"])
+        cond = None
+        if gan.cond_encoder is not None and "captions" in batch:
+            cond = _jitted_encode(gan)(state.txt_vars, batch["captions"],
+                                       batch["lengths"])
+        key, k = jax.random.split(key)
+        fakes = sample(gan, state, x.shape[0], k, cond=cond)
+        save_frames(x, f"{params.out_samples}/real_{i}.png")
+        if cond is not None and vocab is not None:
+            save_sentences(batch["captions"],
+                           f"{params.out_samples}/sentences_{i}.txt", vocab)
+        for f in fakes:
+            h, w = f.shape[-3], f.shape[-2]
+            path = f"{params.out_samples}/fake_{i}_{h}x{w}.jpg"
+            status(f"saving to {path}")
+            save_frames(np.asarray(f), path)
 
 
 def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
@@ -256,6 +264,11 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             iter_watch.start()
 
     drain_pending()
+    # final checkpoint: epoch-bounded (chunked) runs must resume from their LAST
+    # iteration, not the last periodic boundary
+    if params.save_model_period > 0 and iteration % params.save_model_period:
+        name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
+        checkpointer.save(state, f"{params.out}/{name}")
     checkpointer.wait()
     if writer is not None:
         writer.close()

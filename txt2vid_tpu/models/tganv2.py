@@ -84,10 +84,15 @@ class MultiScaleGen(nn.Module):
 
         if self.no_lstm:
             from txt2vid_tpu.models.tgan import FrameSeedGenerator
+            # FrameSeedGenerator's deconv stack emits exactly 16 seeds
+            # (temporal_gen.py:10-34); slice to num_frames <= 16 rather than
+            # silently emitting the wrong frame count (fixes the reference's and
+            # round-2's hardcoded 16, tganv2/gen.py:40-43).
+            assert self.num_frames <= 16, "no_lstm path generates at most 16 frames"
             seeds = FrameSeedGenerator(z_fast_dim=fm_size, init_method=self.init_method,
                                        name="frame_seed_gen")(x, train=train)  # (B, 16, fm_size)
-            x = seeds.reshape(b, 16, fm_h, fm_w, -1)
-            num_frames = 16
+            num_frames = self.num_frames
+            x = seeds[:, :num_frames].reshape(b, num_frames, fm_h, fm_w, -1)
         else:
             x = x.reshape(b, fm_h, fm_w, self.fm_channels)
             x = ConvLSTM(hidden_channels=(self.fm_channels,), kernel_size=3,

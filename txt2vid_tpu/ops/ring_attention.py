@@ -93,13 +93,11 @@ def _local_ring_attention(theta, phi, g, axis_name: str, use_pallas: bool,
     return o_run.astype(g.dtype)
 
 
-def ring_attention(theta, phi, g, mesh: Mesh, axis_name: str = "sp",
-                   use_pallas: bool = False, batch_axis: str | None = None):
-    """Sequence-sharded softmax(theta @ phi^T) @ g over `axis_name` of `mesh`.
-    `batch_axis` additionally shards the leading batch dim (dp x sp meshes) — without
-    it a dp-sharded activation would be all-gathered at the shard_map boundary."""
-    if batch_axis is not None and theta.shape[0] % mesh.shape[batch_axis] != 0:
-        batch_axis = None
+@functools.lru_cache(maxsize=None)
+def _ring_fns(mesh: Mesh, axis_name: str, batch_axis: str | None):
+    """Per-(mesh, axis, batch_axis) shard_map + custom_vjp closures, built ONCE —
+    a fresh custom_vjp per ring_attention call would rebuild (and retrace) them at
+    every attention site of every trace."""
     spec = P(batch_axis, axis_name, None)
 
     def run(pallas: bool):
@@ -116,9 +114,6 @@ def ring_attention(theta, phi, g, mesh: Mesh, axis_name: str = "sp",
             out_specs=spec,
             check_vma=not pallas,
         )
-
-    if not use_pallas:
-        return run(False)(theta, phi, g)
 
     # Pallas forward; backward = XLA-block ring recompute. The VJP boundary sits
     # OUTSIDE shard_map (custom_vjp inside shard_map is not differentiable in
@@ -137,4 +132,15 @@ def ring_attention(theta, phi, g, mesh: Mesh, axis_name: str = "sp",
         return vjp(do)
 
     ring_pallas.defvjp(fwd, bwd)
-    return ring_pallas(theta, phi, g)
+    return run(False), ring_pallas
+
+
+def ring_attention(theta, phi, g, mesh: Mesh, axis_name: str = "sp",
+                   use_pallas: bool = False, batch_axis: str | None = None):
+    """Sequence-sharded softmax(theta @ phi^T) @ g over `axis_name` of `mesh`.
+    `batch_axis` additionally shards the leading batch dim (dp x sp meshes) — without
+    it a dp-sharded activation would be all-gathered at the shard_map boundary."""
+    if batch_axis is not None and theta.shape[0] % mesh.shape[batch_axis] != 0:
+        batch_axis = None
+    xla_fn, pallas_fn = _ring_fns(mesh, axis_name, batch_axis)
+    return (pallas_fn if use_pallas else xla_fn)(theta, phi, g)

@@ -89,7 +89,18 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp"
         def grouped(it):
             import numpy as _np
             group = []
+            expect = None
             for b in it:
+                lead = jax.tree_util.tree_leaves(b)[0].shape[0]
+                if expect is None:
+                    expect = lead
+                if lead != expect:
+                    # ragged tail from a drop_last=False loader: np.stack would
+                    # raise mid-epoch; skip it explicitly instead (scan stacks
+                    # need uniform batch shapes)
+                    print(f"prefetch_to_mesh: dropping ragged batch "
+                          f"(leading dim {lead} != {expect})")
+                    continue
                 group.append(b)
                 if len(group) == stack:
                     yield jax.tree_util.tree_map(

@@ -156,6 +156,13 @@ def main(args):
     step_fn = build_train_step(gan, losses, optG, optD, config)
     k_disp = max(args.steps_per_dispatch, 1)
     if k_disp > 1:
+        for pname in ("save_model_period", "log_period", "save_example_period"):
+            period = getattr(args, pname, 0)
+            if period and period % k_disp:
+                warn(f"--{pname} {period} is not a multiple of "
+                     f"--steps_per_dispatch {k_disp}: actions fire at the "
+                     f"chunk-end iteration after the boundary (e.g. period "
+                     f"{period} saves at iter {(period // k_disp + 1) * k_disp})")
         from txt2vid_tpu.parallel.mesh import jit_scanned_train_step_sharded
         jitted_raw = jit_scanned_train_step_sharded(step_fn, k_disp, mesh)
     else:
