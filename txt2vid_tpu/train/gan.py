@@ -95,6 +95,20 @@ def main(args):
                         has_captions=args.anno is not None, seed=seed,
                         to_device=False)
 
+    ddata = None
+    if args.device_data and not args.test:
+        # Device-resident dataset: upload the packed cache to HBM once; batch
+        # assembly happens inside the compiled step (data/device_cache.py —
+        # zero per-step H2D, and it sidesteps the axon transport's
+        # every-H2D-byte host leak on long runs)
+        assert not args.img_model, "--device_data supports the video path"
+        assert hasattr(dset, "reader"), \
+            "--device_data needs a packed dataset (txt2vid_tpu.data.packed)"
+        from txt2vid_tpu.data.device_cache import DeviceVideoData
+        status("Building device-resident dataset (one-time HBM upload)")
+        ddata = DeviceVideoData.from_dataset(
+            dset, random_phase=bool(args.random_frames))
+
     config = TrainConfig(
         frame_sizes=tuple(args.frame_sizes),
         subsample_input=args.subsample_input,
@@ -110,7 +124,9 @@ def main(args):
     )
 
     # initialize from a representative batch
-    sample_batch = next(iter(loader))
+    import numpy as _np
+    sample_batch = ddata.host_batch(_np.arange(args.batch_size)) \
+        if ddata is not None else next(iter(loader))
     if args.img_model and not args.data_is_imgs:
         sample_batch = dict(sample_batch)
         sample_batch["video"] = sample_batch["video"][:, 0]
@@ -155,7 +171,12 @@ def main(args):
         sp_ctx = contextlib.nullcontext
     step_fn = build_train_step(gan, losses, optG, optD, config)
     k_disp = max(args.steps_per_dispatch, 1)
-    if k_disp > 1:
+    if ddata is not None:
+        assert k_disp == 1, "--device_data implies --steps_per_dispatch 1 " \
+            "(per-step dispatch cost is already zero host work)"
+        from txt2vid_tpu.data.device_cache import jit_device_data_step
+        jitted_raw = jit_device_data_step(step_fn, ddata, mesh, args.batch_size)
+    elif k_disp > 1:
         for pname in ("save_model_period", "log_period", "save_example_period"):
             period = getattr(args, pname, 0)
             if period and period % k_disp:
@@ -182,6 +203,12 @@ def main(args):
 
     class LoaderAdapter:
         def __iter__(self):
+            if ddata is not None:
+                # host-only placeholder batches (real-sample grids / captions);
+                # the compiled step draws its own on-device batch
+                from txt2vid_tpu.data.device_cache import DeviceEpochIterator
+                return iter(DeviceEpochIterator(ddata, args.batch_size,
+                                                seed=seed))
             # async sharded placement, --prefetch batches in flight ahead of the
             # step (each device_put's H2D overlaps earlier steps' compute; deeper
             # pipelines hide more of a slow host->device transport). With
@@ -191,6 +218,8 @@ def main(args):
                                     transform=img_fix, stack=k_disp)
 
         def __len__(self):
+            if ddata is not None:
+                return max(ddata.num_pairs // args.batch_size, 1)
             return len(loader) // k_disp
 
     if args.test:
@@ -216,6 +245,10 @@ def build_parser():
     parser.add_argument('--prefetch', type=int, default=3,
                         help='device-side batch prefetch depth (batches in '
                              'flight ahead of the train step)')
+    parser.add_argument('--device_data', action='store_true', default=False,
+                        help='upload the packed dataset to device memory once '
+                             'and assemble batches inside the compiled step '
+                             '(uniform-shape packed caches that fit HBM)')
     parser.add_argument('--steps_per_dispatch', type=int, default=1,
                         help='fuse k train steps into one dispatched lax.scan '
                              'program (amortizes fixed per-dispatch cost; use '
