@@ -70,16 +70,32 @@ def main():
     # training equivalence is covered by the bf16 e2e tests. BENCH_BF16=0
     # benches the f32 path.
     use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
+    # byte levers (VERDICT r2 item 4), individually switchable for measurement:
+    #   BENCH_REMAT_D / BENCH_REMAT_G — rematerialize block activations (trade
+    #     recompute, nearly free on a 10x-idle MXU, for stored-activation HBM
+    #     traffic in the backward passes)
+    #   BENCH_NU_BF16 — store BOTH Adam moments bf16 (ops/optim.py adam_storage)
+    remat_d = os.environ.get("BENCH_REMAT_D", "0") != "0"
+    remat_g = os.environ.get("BENCH_REMAT_G", "0") != "0"
+    nu_bf16 = os.environ.get("BENCH_NU_BF16", "0") != "0"
     dtype = jnp.bfloat16 if use_bf16 else None
     vocab_size = 64
     enc = Seq2Seq(vocab_size=vocab_size)
-    gen = tganv2_cond.MultiScaleGen(num_frames=NUM_FRAMES, dtype=dtype)
-    discrim = tganv2_cond.MultiScaleDiscrim(dtype=dtype)
+    gen = tganv2_cond.MultiScaleGen(num_frames=NUM_FRAMES, dtype=dtype,
+                                    remat=remat_g)
+    discrim = tganv2_cond.MultiScaleDiscrim(dtype=dtype, remat=remat_d)
     gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
     cfg = TrainConfig(frame_sizes=FRAME_SIZES, subsample_input=True, latent_size=256)
     mu_dtype = jnp.bfloat16 if use_bf16 else None
-    optG = optax.adam(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype)
-    optD = optax.adam(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype)
+    if nu_bf16:
+        from txt2vid_tpu.ops.optim import adam_storage
+        optG = adam_storage(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype,
+                            nu_dtype=jnp.bfloat16)
+        optD = adam_storage(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype,
+                            nu_dtype=jnp.bfloat16)
+    else:
+        optG = optax.adam(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype)
+        optD = optax.adam(2e-4, b1=0.5, b2=0.999, mu_dtype=mu_dtype)
 
     rng = np.random.default_rng(0)
     batch = {   # host numpy; placed on device exactly once via shard_batch
@@ -175,6 +191,7 @@ def main():
         "device_kind": jax.devices()[0].device_kind,
         "dtype": "bf16" if use_bf16 else "f32",
         "mfu_vs_bf16_peak": mfu,
+        "levers": {"remat_d": remat_d, "remat_g": remat_g, "nu_bf16": nu_bf16},
     }))
 
 

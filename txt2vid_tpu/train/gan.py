@@ -79,10 +79,18 @@ def main(args):
         # are pure streaming traffic; mu tolerates low precision (it is a
         # smoothed gradient), while nu stays f32 (sqrt of tiny variances)
         mu_dtype = jnp.bfloat16 if args.bf16 else None
-        optD = optax.adam(args.D_lr, b1=args.D_beta1, b2=args.D_beta2,
-                          mu_dtype=mu_dtype)
-        optG = optax.adam(args.G_lr, b1=args.G_beta1, b2=args.G_beta2,
-                          mu_dtype=mu_dtype)
+        if args.bf16_nu:
+            # both Adam moments stored bf16 (math stays f32) — ops/optim.py
+            from txt2vid_tpu.ops.optim import adam_storage
+            optD = adam_storage(args.D_lr, b1=args.D_beta1, b2=args.D_beta2,
+                                mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16)
+            optG = adam_storage(args.G_lr, b1=args.G_beta1, b2=args.G_beta2,
+                                mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16)
+        else:
+            optD = optax.adam(args.D_lr, b1=args.D_beta1, b2=args.D_beta2,
+                              mu_dtype=mu_dtype)
+            optG = optax.adam(args.G_lr, b1=args.G_beta1, b2=args.G_beta2,
+                              mu_dtype=mu_dtype)
 
     status(f"Loading data from {args.data}")
     dset = create_object(args.data, vocab=vocab, anno=args.anno,
@@ -290,6 +298,9 @@ def build_parser():
                              'avoids the G-phase encoder-collapse shortcut that '
                              'the reference\'s both-optimizers --end2end admits')
     parser.add_argument('--sgd', action='store_true', default=False)
+    parser.add_argument('--bf16_nu', action='store_true', default=False,
+                        help='store the second Adam moment in bfloat16 as well '
+                             '(HBM byte lever; update math stays f32)')
     parser.add_argument('--bf16', action='store_true', default=False,
                         help='bfloat16 compute dtype for G/D (params stay f32)')
     parser.add_argument('--sp', type=int, default=1,
