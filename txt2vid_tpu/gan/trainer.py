@@ -36,6 +36,12 @@ def add_params_to_parser(parser: argparse.ArgumentParser):
     parser.add_argument('--out', type=str, default='out')
     parser.add_argument('--out_samples', type=str, default='out_samples')
     parser.add_argument('--subsample_input', action='store_true', default=False)
+    parser.add_argument('--rss_limit_gb', type=float, default=100.0,
+                        help='end training cleanly (final checkpoint, resumable) '
+                             'if process RSS exceeds this — the axon transport '
+                             'retains every H2D byte on the host (RESULTS.md r3), '
+                             'so streaming-input runs grow without bound; '
+                             '0 disables')
     return parser
 
 
@@ -192,7 +198,21 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                     writer.add_scalar("loss/gen", float(lg), sub_it)
         pending.clear()
 
+    def rss_gb():
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1e6
+        except OSError:
+            pass
+        return 0.0
+
+    rss_limit = getattr(params, "rss_limit_gb", 0) or 0
+    stop = False
     for epoch in range(num_epoch):
+        if stop:
+            break
         if params.log_period > 0:
             status(f"Epoch {epoch + 1} started")
         data_watch.start()
@@ -220,6 +240,12 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                 drain_pending()
                 name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
                 checkpointer.save(state, f"{params.out}/{name}")
+
+            if rss_limit and iteration % 100 < k_step and rss_gb() > rss_limit:
+                status(f"RSS {rss_gb():.1f} GB exceeds --rss_limit_gb "
+                       f"{rss_limit}: ending cleanly (resume with --resume)")
+                stop = True
+                break
 
             if params.log_period > 0 and iteration % params.log_period < k_step:
                 drain_pending()
