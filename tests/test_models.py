@@ -152,7 +152,7 @@ class TestTGANv2:
         rendered, _ = init_and_apply(model, z, train=True,
                                      rngs={"sample": jax.random.key(1)})
         assert [r.shape for r in rendered] == [
-            (4, 8, 32, 32, 1), (2, 4, 64, 64, 1)]
+            (4, 8, 8, 8, 1), (2, 4, 16, 16, 1)]
 
     def test_discrim_multi_scale(self):
         model = tganv2.MultiScaleDiscrim(discrim_down_blocks=(2, 2, 2, 2),
