@@ -972,3 +972,85 @@ class TestTGANv2FullModel:
             assert c is None and c_ref is None
             assert_close(u, u_ref, tol=1e-5, what=f"msd uncond scale {i}")
             assert_close(f, f_ref, tol=1e-5, what=f"msd feats scale {i}")
+
+
+class TestTGANv2CondFullModel:
+    """Conditional variant (reference models/tganv2_cond/): fc over [z ‖ cond],
+    non-local Attention on additional block len-2, per-scale conditional heads
+    behind nn.DataParallel wrappers (single-device passthrough on CPU)."""
+
+    @pytest.fixture(autouse=True)
+    def _no_data_parallel(self, monkeypatch):
+        import torch.nn.parallel as tnp
+        monkeypatch.setattr(tnp, "data_parallel",
+                            lambda module, inputs, *a, **k: module(inputs))
+
+    def test_generator_eval_mode_with_attention(self):
+        from txt2vid.models.tganv2_cond.gen import MultiScaleGen as Ref
+        from txt2vid_tpu.models.tganv2_cond import MultiScaleGen
+        rng = np.random.default_rng(22)
+        # two additional blocks so the non-local Attention site (i == len-2 ==
+        # 0) is exercised
+        ref = Ref(latent_size=8, width=64, height=64, num_channels=1,
+                  additional_blocks=[8, 8], fm_channels=1024, num_frames=4,
+                  cond_dim=6).double().eval()
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.normal_(generator=torch.Generator().manual_seed(3))
+                m.running_var.uniform_(0.5, 1.5)
+        ref.abstract_blocks[1].attn.gamma.data = \
+            torch.tensor(0.6, dtype=torch.float64)
+        z = _rand(rng, 2, 8)
+        cond = _rand(rng, 2, 6)
+        with torch.no_grad():
+            r_ref = ref(z, cond=cond)
+        assert len(r_ref) == 1
+
+        p = {"fc": dense_w(ref.fc),   # 1x1 latent plane: c-major perm is identity
+             "clstm": _convlstm_params(ref.clstm, 1)}
+        stats = {"base": {}}
+        p["base"] = {}
+        for i in range(3):
+            bp, bs = _upblock_params(getattr(ref.abstract_blocks[0], f"up{i}"))
+            p["base"][f"up{i}"] = bp
+            stats["base"][f"up{i}"] = bs
+        for i in (0, 1):
+            p[f"up{i}"], stats[f"up{i}"] = _upblock_params(ref.abstract_blocks[1 + i])
+        for name, rb in (("render_base", ref.render_blocks[0]),
+                         ("render0", ref.render_blocks[1]),
+                         ("render1", ref.render_blocks[2])):
+            p[name] = {"bn": bn_p(rb.bn), "conv": conv_p(rb.conv)}
+            stats[name] = {"bn": bn_s(rb.bn)}
+
+        m = MultiScaleGen(latent_size=8, num_channels=1, additional_blocks=(8, 8),
+                          fm_channels=1024, num_frames=4, cond_dim=6,
+                          use_pallas=False)
+        out = m.apply({"params": p, "batch_stats": stats},
+                      jnp.asarray(t2n(z)), cond=jnp.asarray(t2n(cond)),
+                      train=False)
+        assert len(out) == 1
+        assert_close(np.asarray(out[0]).transpose(0, 4, 1, 2, 3), r_ref[0],
+                     tol=1e-6, what="tganv2_cond full gen (eval)")
+
+    def test_discriminator_cond_heads(self):
+        from txt2vid.models.tganv2_cond.discrim import MultiScaleDiscrim as Ref
+        from txt2vid_tpu.models.tganv2_cond import MultiScaleDiscrim
+        rng = np.random.default_rng(23)
+        cond_dim = 6
+        ref = Ref(discrim_down_blocks=[1, 1], num_channels=1,
+                  cond_dim=cond_dim).double().eval()
+        inner = ref.single_discrim.module      # unwrap nn.DataParallel
+        inner.down[1].gamma.data = torch.tensor(-0.2, dtype=torch.float64)
+        xs = [_rand(rng, 2, 1, 4, 16, 16), _rand(rng, 2, 1, 8, 32, 32)]
+        conds = [_rand(rng, 2, cond_dim), _rand(rng, 2, cond_dim)]
+        with torch.no_grad():
+            out_ref = ref(x=xs, cond=conds)
+        p = {"discrim": _resnet3d_params(inner, 1, True, cond_dim)}
+        m = MultiScaleDiscrim(discrim_down_blocks=(1, 1), num_channels=1,
+                              cond_dim=cond_dim, use_pallas=False)
+        out = m.apply({"params": p}, [vid_t2j(x) for x in xs],
+                      [jnp.asarray(t2n(c)) for c in conds])
+        for i, ((u, c, f), (u_ref, c_ref, f_ref)) in enumerate(zip(out, out_ref)):
+            assert_close(u, u_ref, tol=1e-5, what=f"cond msd uncond scale {i}")
+            assert_close(c, c_ref, tol=1e-5, what=f"cond msd cond scale {i}")
+            assert_close(f, f_ref, tol=1e-5, what=f"cond msd feats scale {i}")
