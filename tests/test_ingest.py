@@ -144,6 +144,24 @@ class TestRealVideoTrainCLI:
         assert ckpts, "no checkpoint written by the CLI run"
         assert list((out / "samples").glob("**/*.png")), "no samples written"
 
+        # --test sampling mode on the produced checkpoint (trainer.test():
+        # each round consumes a fresh batch; consistent per-round naming)
+        tdir = tmp_path / "test_samples"
+        targs = build_parser().parse_args([
+            "--G", gen_spec, "--D", dis_spec, "--dont_use_sent",
+            "--data", data_spec, "--anno", str(root / "sent.pickle"),
+            "--frame_sizes", "8", "16", "--num_channels", "1",
+            "--D_loss", "txt2vid_tpu.gan.losses.RSGANLoss",
+            "--batch_size", "8", "--seed", "7", "--workers", "2",
+            "--test", "--num_samples", "2",
+            "--weights", str(sorted(ckpts)[-1]),
+            "--out", str(out), "--out_samples", str(tdir)])
+        main(targs)
+        names = sorted(f.name for f in tdir.iterdir())
+        assert "real_0.png" in names and "real_1.png" in names
+        assert any(n.startswith("fake_0_") for n in names)
+        assert any(n.startswith("fake_1_") for n in names)
+
 
 class TestMrvdc:
     def test_read_csv_filters(self, tmp_path):
