@@ -17,6 +17,17 @@ conditioning caption. Chance = 25% (4-way); axis-only chance = 50%.
 
 import argparse
 
+import jax
+
+# persistent compile cache (shared with the train CLI; first eval compile of a
+# big sampler can take minutes through remote transports)
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").environ.get(
+                      "TXT2VID_JAX_CACHE",
+                      __import__("os").path.join(__import__("os").getcwd(),
+                                                 ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 
 MOTION_CLASSES = ("left and right", "right and left",
