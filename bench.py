@@ -78,6 +78,10 @@ def main():
     remat_d = os.environ.get("BENCH_REMAT_D", "0") != "0"
     remat_g = os.environ.get("BENCH_REMAT_G", "0") != "0"
     nu_bf16 = os.environ.get("BENCH_NU_BF16", "0") != "0"
+    #   BENCH_SHARED_FWD — one vjp'd generator forward serves both phases
+    #     (train_step.py shared_gen_fwd; equivalence pinned by
+    #     tests/test_train_step.py::TestSharedGenFwd)
+    shared_fwd = os.environ.get("BENCH_SHARED_FWD", "0") != "0"
     dtype = jnp.bfloat16 if use_bf16 else None
     vocab_size = 64
     enc = Seq2Seq(vocab_size=vocab_size)
@@ -85,7 +89,8 @@ def main():
                                     remat=remat_g)
     discrim = tganv2_cond.MultiScaleDiscrim(dtype=dtype, remat=remat_d)
     gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
-    cfg = TrainConfig(frame_sizes=FRAME_SIZES, subsample_input=True, latent_size=256)
+    cfg = TrainConfig(frame_sizes=FRAME_SIZES, subsample_input=True, latent_size=256,
+                      shared_gen_fwd=shared_fwd)
     mu_dtype = jnp.bfloat16 if use_bf16 else None
     if nu_bf16:
         from txt2vid_tpu.ops.optim import adam_storage
@@ -191,7 +196,8 @@ def main():
         "device_kind": jax.devices()[0].device_kind,
         "dtype": "bf16" if use_bf16 else "f32",
         "mfu_vs_bf16_peak": mfu,
-        "levers": {"remat_d": remat_d, "remat_g": remat_g, "nu_bf16": nu_bf16},
+        "levers": {"remat_d": remat_d, "remat_g": remat_g, "nu_bf16": nu_bf16,
+                   "shared_fwd": shared_fwd},
     }))
 
 

@@ -228,3 +228,77 @@ class TestEnd2EndDOnly:
         d_paths = [jax.tree_util.keystr(p) for p, _ in
                    jax.tree_util.tree_leaves_with_path(s1.opt_d_state)]
         assert any("txt" in p for p in d_paths)
+
+
+class TestSharedGenFwd:
+    """shared_gen_fwd computes ONE vjp'd generator forward for both phases; with
+    the same (params, z, cond, key) it must match the default two-forward path
+    to float32 reassociation noise — same losses, same updated params."""
+
+    def _run(self, cfg_kwargs, cond):
+        gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16,
+                                   num_channels=1, fm_channels=16,
+                                   additional_blocks=(8,), num_frames=4,
+                                   cond_dim=16 if cond else 0, use_pallas=False)
+        discrim = tganv2.MultiScaleDiscrim(
+            discrim_down_blocks=(1, 1), num_channels=1, with_attn=False,
+            cond_dim=16 if cond else 0, use_pallas=False,
+            **({"cond_head": "proj"} if cond else {}))
+        enc = Seq2Seq(vocab_size=20, embed_size=8, hidden_size=16,
+                      num_layers=1) if cond else None
+        gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
+        # SGD, not Adam: param deltas are then proportional to the gradients (the
+        # thing actually being verified). Adam's 1/sqrt(nu) normalization turns f32
+        # reassociation noise on exact-zero-gradient leaves (conv biases feeding
+        # BatchNorm) into full-size random steps, making the comparison vacuous.
+        optG, optD = optax.sgd(1e-3), optax.sgd(1e-3)
+        b = 8
+        batch = {"video": jnp.asarray(
+            np.random.default_rng(0).standard_normal((b, 4, 16, 16, 1))
+            .clip(-1, 1), jnp.float32)}
+        if cond:
+            batch["captions"] = jnp.tile(jnp.array([[1, 4, 5, 2]], jnp.int32),
+                                         (b, 1))
+            batch["lengths"] = jnp.full((b,), 4, jnp.int32)
+
+        results = []
+        for shared in (False, True):
+            cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True,
+                              latent_size=16, shared_gen_fwd=shared,
+                              **cfg_kwargs)
+            state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+            step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+            for i in range(3):
+                state, m = step(state, batch, jax.random.key(1))
+            results.append((jax.device_get(state), jax.device_get(m)))
+        return results
+
+    def _assert_equiv(self, base, shared):
+        (s0, m0), (s1, m1) = base, shared
+        assert np.isfinite(m1["loss_d"]) and np.isfinite(m1["loss_g"])
+        np.testing.assert_allclose(m1["loss_d"], m0["loss_d"], rtol=1e-4)
+        np.testing.assert_allclose(m1["loss_g"], m0["loss_g"], rtol=1e-4)
+        for name, a, b in [("g", s0.g_vars["params"], s1.g_vars["params"]),
+                           ("d", s0.d_vars[0]["params"], s1.d_vars[0]["params"])]:
+            for (pa, la), (pb, lb) in zip(
+                    jax.tree_util.tree_leaves_with_path(a),
+                    jax.tree_util.tree_leaves_with_path(b)):
+                la, lb = np.asarray(la), np.asarray(lb)
+                # with SGD, deltas = lr*grad, so this bounds gradient disagreement
+                # directly; tolerance = f32 reassociation noise over 3 steps
+                np.testing.assert_allclose(
+                    lb, la, atol=1e-6, rtol=1e-4,
+                    err_msg=f"{name}{jax.tree_util.keystr(pa)}")
+
+    def test_uncond_equivalence(self):
+        self._assert_equiv(*self._run({}, cond=False))
+
+    def test_cond_frozen_encoder_equivalence(self):
+        self._assert_equiv(*self._run({}, cond=True))
+
+    def test_falls_back_when_end2end(self):
+        # end2end + captions: the G phase conditions on the D-updated encoder, so
+        # sharing is invalid; the config must silently use the two-forward path
+        (s0, m0), (s1, m1) = self._run({"end2end": True}, cond=True)
+        np.testing.assert_allclose(m1["loss_d"], m0["loss_d"], rtol=1e-4)
+        np.testing.assert_allclose(m1["loss_g"], m0["loss_g"], rtol=1e-4)

@@ -50,6 +50,17 @@ class TrainConfig:
     mean_gen_loss: bool = False
     img_model: bool = False
     latent_size: int = 256
+    # Compute the generator forward ONCE per step via jax.vjp and reuse it for both
+    # phases. The step already draws the SAME z for the D-phase fakes and the
+    # G-phase re-generation (reference trainer.py:251-256), so outside end2end the
+    # two generator forwards are numerically identical — the reference (and the
+    # default path below) simply pays for the second one. With the step HBM-bound
+    # (RESULTS.md roofline), deleting a full no-grad G forward is a pure byte/FLOP
+    # saving; gradients are mathematically unchanged (pinned by
+    # tests/test_infra.py shared-fwd equivalence). Applies when gen_steps == 1 and
+    # not (end2end with captions); otherwise the step silently uses the default
+    # two-forward path.
+    shared_gen_fwd: bool = False
 
 
 class GanTrainState(struct.PyTreeNode):
@@ -187,9 +198,25 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         real_scales_const, cond_scales_const = scales_for(x, cond_const, k_pyr)
 
         # --- fake generation for the D phase (detached, reference trainer.py:232)
-        fake_scales = gan.generate(state.g_vars, z, cond=cond_const, key=k_gen,
-                                   train=True)
-        fake_scales = jax.lax.stop_gradient(fake_scales)
+        # shared_gen_fwd: one jax.vjp'd generator forward serves both phases (the
+        # D-phase fakes below and the G-phase gradient at the bottom); both paths
+        # feed the SAME (params, z, cond, key), so the programs are numerically
+        # identical — the shared path just stops paying for the duplicate forward.
+        shared = (config.shared_gen_fwd and config.gen_steps == 1
+                  and not (config.end2end and has_cond))
+        vjp_fake = fake_scales_live = shared_stats = None
+        if shared:
+            def gen_fwd(g_params):
+                return gan.generate(_merge_vars(state.g_vars, g_params), z,
+                                    cond=cond_const, key=k_gen, train=True,
+                                    with_stats=True)
+            fake_scales_live, vjp_fake, shared_stats = jax.vjp(
+                gen_fwd, state.g_vars["params"], has_aux=True)
+            fake_scales = jax.lax.stop_gradient(fake_scales_live)
+        else:
+            fake_scales = gan.generate(state.g_vars, z, cond=cond_const, key=k_gen,
+                                       train=True)
+            fake_scales = jax.lax.stop_gradient(fake_scales)
 
         # ------------------------------------------------------------- D phase
         d_opt_params = {"d": tuple(v["params"] for v in state.d_vars)}
@@ -280,15 +307,37 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         opt_g_state = state.opt_g_state
         total_g_loss = 0.0
         g_stats = state.g_vars.get("batch_stats")
-        for j in range(config.gen_steps):
-            gkey = k_gen if j == 0 else jax.random.fold_in(k_g, j)
-            (loss_g, new_stats), grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(g_opt_params, gkey)
+        if shared:
+            # gradient w.r.t. the SAVED fakes, pulled back through the single
+            # generator forward's vjp — no second G forward
+            def g_loss_from_fakes(fakes):
+                total = gan.gen_loss(new_d_vars, fakes, real_preds_const,
+                                     cond_scales=cond_scales_g, loss=losses,
+                                     m_vars=state.m_vars, train=True)
+                if config.mean_gen_loss:
+                    total = total / config.gen_steps
+                return total
+
+            loss_g, dfakes = jax.value_and_grad(g_loss_from_fakes)(
+                fake_scales_live)
+            (g_param_grads,) = vjp_fake(dfakes)
+            grads = {"g": g_param_grads}
             updates, opt_g_state = optG.update(grads, opt_g_state, g_opt_params)
             g_opt_params = optax.apply_updates(g_opt_params, updates)
-            total_g_loss = total_g_loss + loss_g
-            if new_stats:
-                g_stats = new_stats["batch_stats"]
+            total_g_loss = loss_g
+            if shared_stats:
+                g_stats = shared_stats["batch_stats"]
+        else:
+            for j in range(config.gen_steps):
+                gkey = k_gen if j == 0 else jax.random.fold_in(k_g, j)
+                (loss_g, new_stats), grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(g_opt_params, gkey)
+                updates, opt_g_state = optG.update(grads, opt_g_state,
+                                                   g_opt_params)
+                g_opt_params = optax.apply_updates(g_opt_params, updates)
+                total_g_loss = total_g_loss + loss_g
+                if new_stats:
+                    g_stats = new_stats["batch_stats"]
 
         new_g_vars = _merge_vars(state.g_vars, g_opt_params["g"])
         if g_stats is not None:

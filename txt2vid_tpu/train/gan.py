@@ -129,6 +129,7 @@ def main(args):
         mean_gen_loss=not args.no_mean_gen_loss,
         img_model=args.img_model,
         latent_size=gan.gen.latent_size,
+        shared_gen_fwd=args.shared_gen_fwd,
     )
 
     # initialize from a representative batch
@@ -303,6 +304,11 @@ def build_parser():
                              '(HBM byte lever; update math stays f32)')
     parser.add_argument('--bf16', action='store_true', default=False,
                         help='bfloat16 compute dtype for G/D (params stay f32)')
+    parser.add_argument('--shared_gen_fwd', action='store_true', default=False,
+                        help='compute the generator forward once per step and '
+                             'reuse it for both phases via jax.vjp (byte/FLOP '
+                             'lever; numerically equivalent outside --end2end, '
+                             'where it silently falls back)')
     parser.add_argument('--sp', type=int, default=1,
                         help='sequence-parallel mesh axis size: non-local '
                              'attention tokens ring-shard over ICI (long-clip / '
