@@ -74,10 +74,13 @@ def main():
     #   BENCH_REMAT_D / BENCH_REMAT_G — rematerialize block activations (trade
     #     recompute, nearly free on a 10x-idle MXU, for stored-activation HBM
     #     traffic in the backward passes)
-    #   BENCH_NU_BF16 — store BOTH Adam moments bf16 (ops/optim.py adam_storage)
+    #   BENCH_NU_BF16 — store BOTH Adam moments bf16 (ops/optim.py adam_storage);
+    #     default ON: +2.7% steps/s and capability-equivalent (12k-iter
+    #     conditional run: 100% motion / 100% axis / 64.8% digit vs the bf16
+    #     arm's 98.4% / 60.2% — RESULTS.md round 3)
     remat_d = os.environ.get("BENCH_REMAT_D", "0") != "0"
     remat_g = os.environ.get("BENCH_REMAT_G", "0") != "0"
-    nu_bf16 = os.environ.get("BENCH_NU_BF16", "0") != "0"
+    nu_bf16 = os.environ.get("BENCH_NU_BF16", "1") != "0"
     #   BENCH_SHARED_FWD — one vjp'd generator forward serves both phases
     #     (train_step.py shared_gen_fwd; equivalence pinned by
     #     tests/test_train_step.py::TestSharedGenFwd)
