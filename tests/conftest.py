@@ -6,6 +6,12 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# keep the CPU suite's persistent compile cache separate from the TPU runs'
+# .jax_cache: mixed-machine AOT entries can abort on load (feature mismatch)
+os.environ.setdefault(
+    "TXT2VID_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
 
 import jax
 

@@ -167,7 +167,8 @@ class DeviceVideoData:
 
 
 def jit_device_data_step(train_step, data: DeviceVideoData, mesh,
-                         batch_size: int, axis_name: str = "dp"):
+                         batch_size: int, axis_name: str = "dp",
+                         state_shardings=None):
     """jit the train step with ON-DEVICE batch assembly. The returned callable
     keeps the trainer's (state, batch, key) signature but IGNORES the host batch
     — the compiled program draws its own from the device-resident dataset,
@@ -180,6 +181,7 @@ def jit_device_data_step(train_step, data: DeviceVideoData, mesh,
     from txt2vid_tpu.parallel.mesh import batch_sharding, replicated
 
     rep = replicated(mesh)
+    ss = rep if state_shardings is None else state_shardings
     bs = batch_sharding(mesh, axis_name)
     arrays = data.device_arrays(mesh)
 
@@ -190,8 +192,8 @@ def jit_device_data_step(train_step, data: DeviceVideoData, mesh,
             lambda x: jax.lax.with_sharding_constraint(x, bs), batch)
         return train_step(state, batch, key)
 
-    jitted = jax.jit(step, in_shardings=(rep, rep, rep),
-                     out_shardings=(rep, rep), donate_argnums=(0,))
+    jitted = jax.jit(step, in_shardings=(ss, rep, rep),
+                     out_shardings=(ss, rep), donate_argnums=(0,))
 
     def run(state, _host_batch_ignored, key):
         return jitted(state, arrays, key)

@@ -1,5 +1,6 @@
 from txt2vid_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicated, shard_batch, shard_train_state)
+    make_mesh, batch_sharding, replicated, shard_batch, shard_train_state,
+    state_sharding)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "shard_train_state"]
+           "shard_train_state", "state_sharding"]

@@ -5,8 +5,16 @@ Design: one `jax.sharding.Mesh` over all chips with a `dp` (data) axis; batches 
 sharded over `dp`, parameters and optimizer state are replicated, and XLA inserts the
 gradient all-reduce over ICI automatically when the jitted train step consumes sharded
 batches with replicated-out params. An optional `sp` axis ring-shards non-local
-attention tokens (ops/ring_attention.py). TP axes can be added later by extending the
-mesh — the models are far below the size where that pays (reference ~1e8 params).
+attention tokens (ops/ring_attention.py). An optional `fsdp` axis shards parameters,
+optimizer moments, and BN stats across devices (ZeRO-3 / weight-sharded data
+parallelism): each leaf above a size threshold is split along its largest divisible
+dim, GSPMD all-gathers weights at use and reduce-scatters their gradients, and the
+3x-params Adam state never materializes fully on any one chip — the memory lever for
+scaling past a single chip's HBM. Classic channel-sharded tensor parallelism,
+pipeline, and expert axes are deliberately NOT offered: at this family's scale
+(~1e8 params, conv-dominated) fsdp strictly dominates TP (same weight traffic, no
+activation collectives inside every conv), nothing needs pipelining (whole model
+fits), and there are no experts.
 
 BatchNorm semantics under dp (deliberate design decision): batch statistics are
 GLOBAL-batch — XLA turns the BN mean/var reductions over the dp-sharded batch into
@@ -24,17 +32,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "dp",
-              sp: int = 1) -> Mesh:
-    """dp mesh, or a (dp, sp) mesh when sp > 1 — the sequence-parallel axis feeds
-    ops.attention.sequence_parallel / ring attention for long-clip configs."""
+              sp: int = 1, fsdp: int = 1) -> Mesh:
+    """dp mesh, optionally extended with an `sp` axis (sequence-parallel: feeds
+    ops.attention.sequence_parallel / ring attention for long-clip configs) and an
+    `fsdp` axis (parameter/optimizer-state sharding, see module docstring)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    n = len(devices)
+    assert n % (sp * fsdp) == 0, \
+        f"{n} devices not divisible by sp={sp} * fsdp={fsdp}"
+    shape, names = [n // (sp * fsdp)], [axis_name]
     if sp > 1:
-        assert len(devices) % sp == 0, f"{len(devices)} devices not divisible by sp={sp}"
-        return Mesh(np.array(devices).reshape(len(devices) // sp, sp),
-                    (axis_name, "sp"))
-    return Mesh(np.array(devices), (axis_name,))
+        shape.append(sp)
+        names.append("sp")
+    if fsdp > 1:
+        shape.append(fsdp)
+        names.append("fsdp")
+    return Mesh(np.array(devices).reshape(shape), tuple(names))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
@@ -52,10 +67,42 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _fsdp_spec(shape, fsdp_size: int, min_shard_elems: int = 1024) -> P:
+    """Shape-based fsdp partition rule: split the largest divisible dim over the
+    fsdp axis, replicate anything small or indivisible. Shape-based (not
+    path-based) so a param leaf and its Adam mu/nu moments — identical shapes —
+    always land on identical specs."""
+    size = int(np.prod(shape)) if shape else 1
+    if len(shape) == 0 or size < min_shard_elems * fsdp_size:
+        return P()
+    for i in sorted(range(len(shape)), key=lambda i: shape[i], reverse=True):
+        if shape[i] % fsdp_size == 0:
+            spec = [None] * len(shape)
+            spec[i] = "fsdp"
+            return P(*spec)
+    return P()
+
+
+def state_sharding(state, mesh: Mesh):
+    """Per-leaf NamedSharding pytree for a train state: fsdp-sharded when the mesh
+    has an fsdp axis (params, optimizer moments, and BN stats all follow the same
+    shape-based rule), fully replicated otherwise. Pass the result both to
+    device_put (shard_train_state does) and to jit in/out_shardings
+    (jit_train_step_sharded's state_shardings)."""
+    fsdp_size = mesh.shape.get("fsdp", 1)
+    if fsdp_size <= 1:
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(lambda x: rep, state)
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(
+            mesh, _fsdp_spec(tuple(getattr(x, "shape", ())), fsdp_size)), state)
+
+
 def shard_train_state(state, mesh: Mesh):
-    """Replicate a train state across the mesh."""
-    rep = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    """Place a train state onto the mesh: replicated, or fsdp-sharded when the
+    mesh has an fsdp axis."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, state_sharding(state, mesh))
 
 
 def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp",
@@ -117,7 +164,7 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp"
 
 
 def jit_scanned_train_step_sharded(train_step, k: int, mesh: Mesh,
-                                   axis_name: str = "dp"):
+                                   axis_name: str = "dp", state_shardings=None):
     """Fuse k train steps into ONE dispatched program via lax.scan over a
     leading-axis stack of k batches. Amortizes the fixed per-dispatch host/RPC
     cost k-fold — the lever that matters on remote-transport backends where the
@@ -130,19 +177,25 @@ def jit_scanned_train_step_sharded(train_step, k: int, mesh: Mesh,
         return jax.lax.scan(body, state, batches)
 
     rep = replicated(mesh)
+    ss = rep if state_shardings is None else state_shardings
     bs = NamedSharding(mesh, P(None, axis_name))
-    return jax.jit(scanned, in_shardings=(rep, bs, rep),
-                   out_shardings=(rep, rep), donate_argnums=(0,))
+    return jax.jit(scanned, in_shardings=(ss, bs, rep),
+                   out_shardings=(ss, rep), donate_argnums=(0,))
 
 
-def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp"):
-    """jit the train step with explicit in/out shardings: state replicated, batch
-    dp-sharded, key replicated. XLA turns the loss/grad means into psum over ICI."""
+def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp",
+                           state_shardings=None):
+    """jit the train step with explicit in/out shardings: state replicated (or the
+    given per-leaf sharding pytree — state_sharding(state, mesh) — for fsdp
+    meshes), batch dp-sharded, key replicated. XLA turns the loss/grad means into
+    psum over ICI; with fsdp state shardings it inserts the weight all-gathers and
+    gradient reduce-scatters (ZeRO-3 schedule) itself."""
     rep = replicated(mesh)
+    ss = rep if state_shardings is None else state_shardings
     bs = batch_sharding(mesh, axis_name)
     return jax.jit(
         train_step,
-        in_shardings=(rep, bs, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(ss, bs, rep),
+        out_shardings=(ss, rep),
         donate_argnums=(0,),   # reuse the old state's buffers for the new state
     )

@@ -168,7 +168,11 @@ def main(args):
     losses = MixedGanLoss(g_loss=create_object(args.G_loss),
                           d_loss=create_object(args.D_loss))
 
-    mesh = make_mesh(sp=args.sp)
+    mesh = make_mesh(sp=args.sp, fsdp=args.fsdp)
+    state_shardings = None
+    if args.fsdp > 1:
+        from txt2vid_tpu.parallel.mesh import state_sharding
+        state_shardings = state_sharding(state, mesh)
     if args.sp > 1:
         # trace-time dispatch: non-local attention runs ring-sharded over the sp
         # axis (ops/ring_attention.py); everything else stays dp-sharded
@@ -184,7 +188,8 @@ def main(args):
         assert k_disp == 1, "--device_data implies --steps_per_dispatch 1 " \
             "(per-step dispatch cost is already zero host work)"
         from txt2vid_tpu.data.device_cache import jit_device_data_step
-        jitted_raw = jit_device_data_step(step_fn, ddata, mesh, args.batch_size)
+        jitted_raw = jit_device_data_step(step_fn, ddata, mesh, args.batch_size,
+                                          state_shardings=state_shardings)
     elif k_disp > 1:
         for pname in ("save_model_period", "log_period", "save_example_period"):
             period = getattr(args, pname, 0)
@@ -194,9 +199,11 @@ def main(args):
                      f"chunk-end iteration after the boundary (e.g. period "
                      f"{period} saves at iter {(period // k_disp + 1) * k_disp})")
         from txt2vid_tpu.parallel.mesh import jit_scanned_train_step_sharded
-        jitted_raw = jit_scanned_train_step_sharded(step_fn, k_disp, mesh)
+        jitted_raw = jit_scanned_train_step_sharded(step_fn, k_disp, mesh,
+                                                   state_shardings=state_shardings)
     else:
-        jitted_raw = jit_train_step_sharded(step_fn, mesh)
+        jitted_raw = jit_train_step_sharded(step_fn, mesh,
+                                           state_shardings=state_shardings)
 
     def jitted(*a):
         with sp_ctx():
@@ -313,6 +320,11 @@ def build_parser():
                         help='sequence-parallel mesh axis size: non-local '
                              'attention tokens ring-shard over ICI (long-clip / '
                              'high-res configs); devices = dp * sp')
+    parser.add_argument('--fsdp', type=int, default=1,
+                        help='fsdp mesh axis size: params, optimizer moments, '
+                             'and BN stats shard across devices (ZeRO-3 — the '
+                             'memory lever for models past one chip\'s HBM); '
+                             'devices = dp * sp * fsdp')
     parser.add_argument('--uint8_input', action='store_true', default=True,
                         help='ship video batches as uint8, normalize on device')
     parser.add_argument('--no_uint8_input', dest='uint8_input',
