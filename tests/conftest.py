@@ -4,7 +4,14 @@ multi-device sharding tests run without TPU hardware (SURVEY.md §4)."""
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # all 8 virtual devices time-slice ONE host core here; under concurrent
+    # host load the default 40 s collective rendezvous deadline can starve and
+    # XLA CPU exits fatally (rendezvous.cc) — raise it, it is a liveness
+    # watchdog, not a correctness bound
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
 )
 # keep the CPU suite's persistent compile cache separate from the TPU runs'
 # .jax_cache: mixed-machine AOT entries can abort on load (feature mismatch)
