@@ -82,9 +82,10 @@ def main():
     remat_g = os.environ.get("BENCH_REMAT_G", "0") != "0"
     nu_bf16 = os.environ.get("BENCH_NU_BF16", "1") != "0"
     #   BENCH_SHARED_FWD — one vjp'd generator forward serves both phases
-    #     (train_step.py shared_gen_fwd; equivalence pinned by
-    #     tests/test_train_step.py::TestSharedGenFwd)
-    shared_fwd = os.environ.get("BENCH_SHARED_FWD", "0") != "0"
+    #     (train_step.py shared_gen_fwd; gradients identical outside end2end,
+    #     pinned by tests/test_train_step.py::TestSharedGenFwd). Default ON:
+    #     measured +6.6% (32.03 -> 34.14 steps/s, RESULTS.md round 3).
+    shared_fwd = os.environ.get("BENCH_SHARED_FWD", "1") != "0"
     dtype = jnp.bfloat16 if use_bf16 else None
     vocab_size = 64
     enc = Seq2Seq(vocab_size=vocab_size)
