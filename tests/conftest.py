@@ -10,7 +10,7 @@ os.environ["XLA_FLAGS"] = (
     # host load the default 40 s collective rendezvous deadline can starve and
     # XLA CPU exits fatally (rendezvous.cc) — raise it, it is a liveness
     # watchdog, not a correctness bound
-    + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
     + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
 )
 # keep the CPU suite's persistent compile cache separate from the TPU runs'

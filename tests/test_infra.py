@@ -183,9 +183,38 @@ class TestCheckpoint:
 
 class TestShardedStep:
     def test_dp_mesh_8_devices(self):
-        # the dryrun path: full conditional train step over a dp=8 mesh
-        import __graft_entry__ as ge
-        ge.dryrun_multichip(8)
+        # The dryrun path: full conditional train step over the 8-device
+        # (dp x sp x fsdp) mesh. Run in a FRESH subprocess, exactly as the
+        # driver invokes it: in-process it inherits this suite's accumulated
+        # XLA CPU collective state (dozens of meshes/cliques from earlier
+        # tests), which has produced silent SIGABRTs in the runtime; the
+        # driver never runs it that way.
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        for attempt in range(2):
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                env=env, capture_output=True, text=True, timeout=3600)
+            if proc.returncode == 0:
+                break
+            if "Termination timeout" not in proc.stderr:
+                break
+            # rendezvous starvation: on this 1-core host, a concurrent heavy
+            # process (e.g. an XLA compile) can starve 2 of the 8 spinning
+            # device threads past even the raised watchdog — an environment
+            # artifact, not a program property (the same binary passes
+            # standalone); retry once when the host may have decongested
+        assert proc.returncode == 0, \
+            f"dryrun failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        assert "ok — mesh" in proc.stdout
 
     def test_dp1_vs_dp8_numerical_equivalence(self):
         """Same global batch, same key: the dp=8 step must produce the same updated
