@@ -141,6 +141,23 @@ class TestTGANv2:
         out = model.apply(variables, z, train=False, mutable=["batch_stats"])[0]
         assert len(out) == 1 and out[0].shape == (2, 8, 64, 64, 3)
 
+    def test_gen_fm_stride_shallow_pyramid(self):
+        # fm_stride overrides the reference's hardcoded width//64 latent-plane
+        # downscale so shallower pyramids honor `width`: 2 additional blocks +
+        # fm_stride=32 -> base at width/4, scales width/4, width/2, width (the
+        # 3-scale 128px recipe, RESULTS.md round 3). Default (None) keeps
+        # reference semantics — covered by the pyramid tests above and the
+        # reference-parity suite.
+        model = tganv2.MultiScaleGen(latent_size=32, width=64, height=64,
+                                     num_channels=1, fm_channels=32,
+                                     additional_blocks=(16, 8), fm_stride=32,
+                                     num_frames=8, use_pallas=False)
+        z = jnp.ones((4, 32))
+        rendered, _ = init_and_apply(model, z, train=True,
+                                     rngs={"sample": jax.random.key(1)})
+        assert [r.shape for r in rendered] == [
+            (4, 8, 16, 16, 1), (2, 4, 32, 32, 1), (1, 2, 64, 64, 1)]
+
     def test_gen_no_lstm_respects_num_frames(self):
         # r2 hardcoded 16 frames on this path (VERDICT weak #4); FrameSeedGenerator
         # emits 16 seeds which are sliced to num_frames

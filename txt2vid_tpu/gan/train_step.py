@@ -218,6 +218,20 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                                        train=True)
             fake_scales = jax.lax.stop_gradient(fake_scales)
 
+        # trace-time config check: the generator's rendered pyramid must match
+        # the data pyramid (frame_sizes) positionally — a mismatched generator
+        # (wrong additional_blocks/fm_stride for frame_sizes) otherwise
+        # surfaces as an inscrutable broadcast error inside the GP interpolant
+        if [f.shape[2:4] for f in fake_scales] != \
+                [r.shape[2:4] for r in real_scales_const]:
+            raise ValueError(
+                "generator pyramid "
+                f"{[tuple(f.shape[2:4]) for f in fake_scales]} does not match "
+                f"--frame_sizes pyramid "
+                f"{[tuple(r.shape[2:4]) for r in real_scales_const]}; check the "
+                "generator's width/additional_blocks/fm_stride against "
+                "frame_sizes")
+
         # ------------------------------------------------------------- D phase
         d_opt_params = {"d": tuple(v["params"] for v in state.d_vars)}
         if config.end2end and state.txt_vars is not None:

@@ -61,6 +61,7 @@ class MultiScaleGen(nn.Module):
     num_frames: int = 16
     cond_dim: int = 0
     no_lstm: bool = False
+    fm_stride: int | None = None   # latent-plane downscale; None = reference width//64
     with_non_local: bool = False
     init_method: str = "xavier"
     use_pallas: bool | None = None
@@ -69,8 +70,19 @@ class MultiScaleGen(nn.Module):
 
     @nn.compact
     def __call__(self, z, cond=None, train: bool = True, output_blocks=None):
-        fm_w = max(1, self.width // 64)
-        fm_h = max(1, self.height // 64)
+        # Latent-plane size. The reference hardcodes width//64 (tganv2/gen.py:31)
+        # — correct only at its fixed 3 additional blocks, where base(x8) plus
+        # three x2 blocks reproduces `width`; with a different pyramid depth the
+        # final render silently diverges from `width`, and the base is
+        # structurally pinned to width/8. `fm_stride=None` keeps reference
+        # semantics exactly (every reference config and the parity tests);
+        # setting it overrides the plane downscale so shallower pyramids honor
+        # `width` — e.g. fm_stride=32 gives a 3-scale 32/64/128 generator whose
+        # 32px base can actually render a digit glyph (RESULTS.md round 3,
+        # 128px alignment hypothesis).
+        stride = self.fm_stride or 64
+        fm_w = max(1, self.width // stride)
+        fm_h = max(1, self.height // stride)
         fm_size = fm_w * fm_h * self.fm_channels
         ki = make_kernel_init(self.init_method)
 
