@@ -80,6 +80,41 @@ class TestCondTCWYT:
         assert not params_differ(state.m_vars["params"], s1.m_vars["params"])
 
 
+class TestFmStrideShallowPyramid:
+    def test_cond_3scale_fm_stride_full_step(self):
+        # Tiny analog of the 3-scale 128px recipe (RESULTS.md round 3 /
+        # scripts/r3_queue9.sh phase B): fm_stride overrides the reference's
+        # hardcoded width//64 latent-plane downscale (tganv2/gen.py:31) so a
+        # 3-scale pyramid honors `width`. Full conditional train step: frozen
+        # encoder, proj head, subsample_input, gradient penalty — a structural
+        # bug in the fm_stride pyramid must fail HERE, not on hardware.
+        enc = Seq2Seq(vocab_size=20, embed_size=8, hidden_size=16, num_layers=1)
+        gen = tganv2.MultiScaleGen(latent_size=16, width=32, height=32,
+                                   num_channels=1, fm_channels=16,
+                                   additional_blocks=(8, 8), fm_stride=32,
+                                   num_frames=4, cond_dim=16,
+                                   with_non_local=True, use_pallas=False)
+        discrim = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1, 1),
+                                           num_channels=1, cond_dim=16,
+                                           with_attn=False, cond_head="proj",
+                                           use_pallas=False)
+        gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
+        cfg = TrainConfig(frame_sizes=(8, 16, 32), subsample_input=True,
+                          gp_lambda=1.0, latent_size=16)
+        optG, optD = make_opts()
+        batch = {
+            "video": jnp.zeros((4, 4, 32, 32, 1)),
+            "captions": jnp.array([[1, 4, 5, 2]] * 4, dtype=jnp.int32),
+            "lengths": jnp.array([4, 4, 4, 4]),
+        }
+        state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+        step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+        s1, m1 = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(m1["loss_d"])) and np.isfinite(float(m1["loss_g"]))
+        assert params_differ(state.g_vars["params"], s1.g_vars["params"])
+        assert params_differ(state.d_vars[0]["params"], s1.d_vars[0]["params"])
+
+
 class TestImgWGAN:
     def test_wgan_gp_multi_dstep(self):
         gen = img.Gen(dim=8)
