@@ -54,7 +54,33 @@ WARMUP = 3
 MEASURE = 20
 
 
+def probe_accelerator(timeout_s: int = 240) -> bool:
+    """Fail fast when the accelerator transport is down. A wedged remote
+    transport (RESULTS.md round 3: the axon link can drop mid-session, leaving
+    every jax.devices() call futex-blocked forever) would otherwise make this
+    process hang silently with no JSON line at all. Probe from a SUBPROCESS —
+    an in-process hang cannot be recovered, a subprocess can be killed."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not probe_accelerator():
+        print(json.dumps({
+            "metric": "train_steps_per_sec_per_chip_cond_tganv2_16f_64px",
+            "value": 0.0, "unit": "steps/sec/chip", "vs_baseline": 0.0,
+            "error": "accelerator unreachable: device probe hung/failed "
+                     "(transport down — see RESULTS.md round-3 wedge forensics); "
+                     "rerun when the device link is up",
+        }))
+        raise SystemExit(1)
+
     from txt2vid_tpu.gan import losses as L
     from txt2vid_tpu.gan.cond_gan import CondGan
     from txt2vid_tpu.gan.train_step import (
