@@ -14,11 +14,19 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
 )
 # keep the CPU suite's persistent compile cache separate from the TPU runs'
-# .jax_cache: mixed-machine AOT entries can abort on load (feature mismatch)
+# .jax_cache (mixed-machine AOT entries can abort on load), and MACHINE-scope
+# it by cpu_count: XLA:CPU AOT entries embed the compile host's features and
+# reload elsewhere with only a warning — reloaded entries have deadlocked the
+# 8-virtual-device collective rendezvous on a 1-core host (threads parked at
+# DIFFERENT collectives of one launch; measured 2026-08-18, __graft_entry__.py
+# has the forensics). The driver-facing dryrun opts out of persistent caching
+# entirely; the suite keeps it for speed, with the 1800 s terminate timeout
+# below turning any wedge into a visible fatal exit instead of an infinite
+# hang.
 os.environ.setdefault(
     "TXT2VID_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache_cpu"))
+                 f".jax_cache_cpu{os.cpu_count()}"))
 
 import jax
 

@@ -197,6 +197,10 @@ class TestShardedStep:
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=8")
+        # no persistent compile cache for the dryrun: reloaded XLA:CPU AOT
+        # entries deadlock the 8-device rendezvous on low-core hosts
+        # (__graft_entry__.py forensics) — let dryrun_multichip disable it
+        env.pop("TXT2VID_JAX_CACHE", None)
         for attempt in range(2):
             proc = subprocess.run(
                 [sys.executable, "-c",
