@@ -1,0 +1,417 @@
+"""Import reference (PyTorch) checkpoints into txt2vid_tpu.
+
+The reference trainer torch.saves a flat dict
+``{optG, optD, gen, cond, sample_mapping?, <discrim-name>...}`` where every model
+entry is a torch ``state_dict`` (reference gan/trainer.py:269-279,
+cond_gan.py:186-196; default discriminator names are ``discrim-%d``,
+cond_gan.py:13-14). This module converts those state_dicts — pure numpy key/layout
+transforms, the same mappings proven numerically in tests/test_reference_parity.py —
+into flax variable trees for the corresponding txt2vid_tpu modules, and assembles a
+GanTrainState checkpoint usable everywhere ``--weights`` is accepted (train --resume
+/ sample.py / eval CLIs).
+
+Layout rules (torch -> flax, channel-last):
+  Conv{2,3}d weight (O, I, *k)    -> kernel (*k, I, O)
+  Linear weight (O, I)            -> kernel (I, O)
+  BatchNorm weight/bias           -> params scale/bias; running stats -> batch_stats
+  LSTM weight_ih_l{k}[_reverse]   -> per-direction flax LSTMCell gate slices (i,f,g,o)
+  ConvLSTM 8 per-gate convs       -> fused 4C input/hidden convs (conv_lstm.py)
+  fc latent plane                 -> dense OUTPUT rows permuted (C,h,w)-major ->
+                                     (h,w,C)-major (identity at the 1x1 plane of
+                                     64px configs)
+
+Optimizer state is NOT imported: torch Adam moments are keyed to the torch
+parameter layout and do not transfer; the emitted checkpoint carries fresh
+(zero) optax state and step 0, so training resumes with optimizer warmup.
+
+CLI:
+    python -m txt2vid_tpu.compat.torch_import \
+        --ckpt ref_out/iter_10000_lossG_0.69_lossD_0.69 \
+        --G txt2vid_tpu.models.tganv2_cond.MultiScaleGen \
+        --D txt2vid_tpu.models.tganv2_cond.MultiScaleDiscrim \
+        --vocab vocab.pickle --frame_sizes 8 16 32 64 --out imported_ckpt
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t, dtype=np.float32)
+
+
+class MissingKey(KeyError):
+    pass
+
+
+def _get(sd, key):
+    if key not in sd:
+        raise MissingKey(
+            f"reference state_dict is missing '{key}' — wrong family/config for "
+            f"this converter? (have e.g. {sorted(sd)[:6]}...)")
+    return _np(sd[key])
+
+
+def strip_data_parallel(sd):
+    """Drop the '.module' path segments nn.DataParallel wrapping inserts
+    (reference tganv2_cond/discrim.py:15,23)."""
+    return {k.replace(".module.", ".").removeprefix("module."): v
+            for k, v in sd.items()}
+
+
+def _sub(sd, prefix):
+    """The sub-dict under `prefix.` with the prefix stripped."""
+    pl = len(prefix) + 1
+    return {k[pl:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+
+
+# --- generic layer converters (state_dict level) ---------------------------------
+
+def sd_conv(sd, p):
+    """torch Conv{1,2,3}d at `p` -> flax nn.Conv params."""
+    w = _get(sd, f"{p}.weight")
+    out = {"kernel": np.transpose(w, tuple(range(2, w.ndim)) + (1, 0))}
+    if f"{p}.bias" in sd:
+        out["bias"] = _np(sd[f"{p}.bias"])
+    return out
+
+
+def sd_dense(sd, p):
+    out = {"kernel": _get(sd, f"{p}.weight").T}
+    if f"{p}.bias" in sd:
+        out["bias"] = _np(sd[f"{p}.bias"])
+    return out
+
+
+def sd_bn(sd, p):
+    """torch BatchNorm at `p` -> (params, batch_stats)."""
+    return ({"scale": _get(sd, f"{p}.weight"), "bias": _get(sd, f"{p}.bias")},
+            {"mean": _get(sd, f"{p}.running_mean"),
+             "var": _get(sd, f"{p}.running_var")})
+
+
+def sd_attn(sd, p):
+    """Attention / Attention3d (reference layers.py:10-68): theta/phi/g/o no-bias
+    convs + scalar gamma."""
+    return {"theta": sd_conv(sd, f"{p}.theta"), "phi": sd_conv(sd, f"{p}.phi"),
+            "g": sd_conv(sd, f"{p}.g"), "o": sd_conv(sd, f"{p}.o"),
+            "gamma": _get(sd, f"{p}.gamma")}
+
+
+def sd_upblock(sd, p):
+    """UpBlock (reference layers.py:152-195): main.inner_module Sequential indices
+    0=BN 3=conv3x3 4=BN 6=conv3x3; identity 1x1 conv at main.identity_map.1 on
+    channel change; optional trailing attn."""
+    bn1_p, bn1_s = sd_bn(sd, f"{p}.main.inner_module.0")
+    bn2_p, bn2_s = sd_bn(sd, f"{p}.main.inner_module.4")
+    params = {"bn1": bn1_p, "conv1": sd_conv(sd, f"{p}.main.inner_module.3"),
+              "bn2": bn2_p, "conv2": sd_conv(sd, f"{p}.main.inner_module.6")}
+    stats = {"bn1": bn1_s, "bn2": bn2_s}
+    if f"{p}.main.identity_map.1.weight" in sd:
+        params["conv_identity"] = sd_conv(sd, f"{p}.main.identity_map.1")
+    if f"{p}.attn.theta.weight" in sd:
+        params["attn"] = sd_attn(sd, f"{p}.attn")
+    return params, stats
+
+
+def sd_downblock(sd, p):
+    """DownBlock (reference layers.py:219-243): inner_module 1=conv 3=conv,
+    identity_map.0 = 1x1 conv."""
+    return {"conv1": sd_conv(sd, f"{p}.main.inner_module.1"),
+            "conv2": sd_conv(sd, f"{p}.main.inner_module.3"),
+            "conv_identity": sd_conv(sd, f"{p}.main.identity_map.0")}
+
+
+def sd_render(sd, p):
+    bn_p_, bn_s_ = sd_bn(sd, f"{p}.bn")
+    return ({"bn": bn_p_, "conv": sd_conv(sd, f"{p}.conv")}, {"bn": bn_s_})
+
+
+def sd_convlstm(sd, p):
+    """ConvLSTM (reference conv_lstm.py): 8 per-gate convs per cell -> our fused
+    4C input/hidden convs (gate order i, f, g=c, o; models/conv_lstm.py)."""
+    num_layers = 0
+    while f"{p}.cell{num_layers}.Wxi.weight" in sd:
+        num_layers += 1
+    if num_layers == 0:
+        raise MissingKey(f"no ConvLSTM cells under '{p}.cell0'")
+    params = {"cells": {}}
+    for li in range(num_layers):
+        c = f"{p}.cell{li}"
+        wx = np.concatenate(
+            [sd_conv(sd, f"{c}.Wx{g}")["kernel"] for g in "ifco"], axis=-1)
+        bx = np.concatenate([_get(sd, f"{c}.Wx{g}.bias") for g in "ifco"])
+        wh = np.concatenate(
+            [sd_conv(sd, f"{c}.Wh{g}")["kernel"] for g in "ifco"], axis=-1)
+        if li == 0:
+            params["wx0"] = {"kernel": wx}
+            params["wx0_bias"] = bx
+        else:
+            params["cells"][f"wx{li}"] = {"kernel": wx, "bias": bx}
+        params["cells"][f"wh{li}"] = {"kernel": wh}
+    return params
+
+
+def sd_resnet3d(sd, p=""):
+    """Resnet3D (reference resnet3d.py): stem residual block, DownBlocks with an
+    optional Attention3d at down.1, sum-pool heads. No BN -> params only. The
+    `down` ModuleList interleaves blocks and the attention, so flax down{i}
+    indices skip it."""
+    q = (p + ".") if p else ""
+    params = {"stem_conv1": sd_conv(sd, f"{q}res_block.inner_module.0"),
+              "stem_conv2": sd_conv(sd, f"{q}res_block.inner_module.2"),
+              "stem_skip": sd_conv(sd, f"{q}res_block.identity_map.1"),
+              "fc_uncond": sd_dense(sd, f"{q}fc_uncond")}
+    di = mi = 0
+    while True:
+        if f"{q}down.{mi}.theta.weight" in sd:        # Attention3d entry
+            params["attn"] = sd_attn(sd, f"{q}down.{mi}")
+        elif f"{q}down.{mi}.main.inner_module.1.weight" in sd:
+            params[f"down{di}"] = sd_downblock(sd, f"{q}down.{mi}")
+            di += 1
+        else:
+            break
+        mi += 1
+    if di == 0:
+        raise MissingKey(f"no DownBlocks under '{q}down'")
+    if f"{q}fc.weight" in sd:
+        # the reference's "concat" conditional head (resnet3d.py:33-35); a "proj"
+        # head has no reference counterpart and cannot be imported
+        params["fc"] = sd_dense(sd, f"{q}fc")
+    return params
+
+
+# --- model-level converters -------------------------------------------------------
+
+def _fc_perm(fm_c, fm_h, fm_w):
+    """Output-row permutation for the latent-plane fc: the reference views the dense
+    output (C, h, w) c-major (tganv2/gen.py:68); ours reshapes (h, w, C). Identity
+    at the 1x1 plane of 64px configs."""
+    return np.arange(fm_c * fm_h * fm_w).reshape(fm_c, fm_h, fm_w) \
+        .transpose(1, 2, 0).reshape(-1)
+
+
+def multiscale_gen_vars(sd, fm_hw=None):
+    """TGANv2 / TGANv2-cond MultiScaleGen state_dict -> flax variables
+    {"params", "batch_stats"} for txt2vid_tpu.models.tganv2(.cond).MultiScaleGen.
+
+    `fm_hw`: (fm_h, fm_w) of the latent plane when it is larger than 1x1 and
+    non-square; inferred as square otherwise. The no_lstm/FrameSeedGenerator
+    variant is not supported (no recorded reference run used it)."""
+    sd = strip_data_parallel(sd)
+    if any(k.startswith("frame_seed_gen.") for k in sd):
+        raise NotImplementedError("no_lstm reference checkpoints are not supported")
+
+    # latent-plane geometry from the weights themselves: fm_channels is the
+    # ConvLSTM hidden width; fm_h*fm_w = fc rows / fm_channels
+    fm_c = _get(sd, "clstm.cell0.Wxi.weight").shape[0]
+    fc_rows = _get(sd, "fc.weight").shape[0]
+    plane = fc_rows // fm_c
+    if fm_hw is not None:
+        fm_h, fm_w = fm_hw
+    else:
+        fm_h = fm_w = int(round(plane ** 0.5))
+    assert fm_h * fm_w == plane, \
+        f"latent plane {plane} != {fm_h}x{fm_w}; pass fm_hw=(h, w)"
+
+    perm = _fc_perm(fm_c, fm_h, fm_w)
+    fc = sd_dense(sd, "fc")
+    params = {"fc": {"kernel": fc["kernel"][:, perm], "bias": fc["bias"][perm]},
+              "clstm": sd_convlstm(sd, "clstm")}
+    stats = {}
+
+    # abstract_blocks.0 is BaseFrameGen (up0/up1/up2); the rest are UpBlocks
+    params["base"], stats["base"] = {}, {}
+    for i in range(3):
+        bp, bs = sd_upblock(sd, f"abstract_blocks.0.up{i}")
+        params["base"][f"up{i}"] = bp
+        stats["base"][f"up{i}"] = bs
+    n_additional = 0
+    while f"abstract_blocks.{n_additional + 1}.main.inner_module.0.weight" in sd:
+        bp, bs = sd_upblock(sd, f"abstract_blocks.{n_additional + 1}")
+        params[f"up{n_additional}"] = bp
+        stats[f"up{n_additional}"] = bs
+        n_additional += 1
+
+    names = ["render_base"] + [f"render{i}" for i in range(n_additional)]
+    for i, name in enumerate(names):
+        rp, rs = sd_render(sd, f"render_blocks.{i}")
+        params[name] = rp
+        stats[name] = rs
+    return {"params": params, "batch_stats": stats}
+
+
+def multiscale_discrim_vars(sd):
+    """TGANv2 / TGANv2-cond MultiScaleDiscrim state_dict -> flax variables for
+    txt2vid_tpu.models.tganv2(.cond).MultiScaleDiscrim (cond_head="concat")."""
+    sd = strip_data_parallel(sd)
+    if any(k.startswith("single_discrim.") for k in sd):
+        return {"params": {"discrim": sd_resnet3d(sd, "single_discrim")}}
+    params, i = {}, 0
+    while any(k.startswith(f"sub_discrims.{i}.") for k in sd):
+        params[f"discrim{i}"] = sd_resnet3d(sd, f"sub_discrims.{i}")
+        i += 1
+    if i == 0:
+        raise MissingKey("neither single_discrim nor sub_discrims.* present")
+    return {"params": params}
+
+
+def resnet3d_vars(sd):
+    """Bare Resnet3D state_dict (e.g. a TGAN discriminator entry)."""
+    return {"params": sd_resnet3d(strip_data_parallel(sd))}
+
+
+def _lstm_layer(sd, p, layer, reverse):
+    sfx = f"_l{layer}" + ("_reverse" if reverse else "")
+    w_ih = _get(sd, f"{p}.weight_ih{sfx}")          # (4H, in), gates i,f,g,o
+    w_hh = _get(sd, f"{p}.weight_hh{sfx}")
+    b = _get(sd, f"{p}.bias_ih{sfx}") + _get(sd, f"{p}.bias_hh{sfx}")
+    hdim = w_hh.shape[1]
+    cell = {}
+    for gi, g in enumerate("ifgo"):
+        sl = slice(gi * hdim, (gi + 1) * hdim)
+        cell[f"i{g}"] = {"kernel": w_ih[sl].T}
+        cell[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+    return {"cell": cell}
+
+
+def _recurrent_vars(sd, p, bi):
+    out = {"embed": {"embedding": _get(sd, f"{p}.embed.weight")}}
+    num_layers = 0
+    while f"{p}.lstm.weight_ih_l{num_layers}" in sd:
+        num_layers += 1
+    if num_layers == 0:
+        raise MissingKey(f"no LSTM layers under '{p}.lstm'")
+    for i in range(num_layers):
+        out[f"l{i}_fwd"] = _lstm_layer(sd, f"{p}.lstm", i, False)
+        if bi:
+            out[f"l{i}_bwd"] = _lstm_layer(sd, f"{p}.lstm", i, True)
+    if f"{p}.to_vocab.weight" in sd:
+        out["to_vocab"] = sd_dense(sd, f"{p}.to_vocab")
+    return out
+
+
+def seq2seq_vars(sd):
+    """Reference Seq2Seq state_dict -> flax variables for models/txt.Seq2Seq.
+
+    The reference registers the shared decoder twice ('encoder.*' and 'decoder.*'
+    aliases of the same tensors, basic.py:10-16); a separate decoder is detected by
+    a unidirectional 'decoder.lstm' (no _reverse weights)."""
+    sd = strip_data_parallel(sd)
+    params = {"encoder": _recurrent_vars(sd, "encoder", bi=True)}
+    separate = (any(k.startswith("decoder.") for k in sd)
+                and "decoder.lstm.weight_ih_l0_reverse" not in sd)
+    if separate:
+        params["sep_decoder"] = _recurrent_vars(sd, "decoder", bi=False)
+    return {"params": params}
+
+
+# --- checkpoint assembly ----------------------------------------------------------
+
+def load_reference_checkpoint(path):
+    """torch.load the reference trainer's flat checkpoint dict, tensors -> numpy."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for name, entry in raw.items():
+        if name in ("optG", "optD"):
+            continue  # torch optimizer state does not transfer
+        if hasattr(entry, "state_dict"):   # whole-module save (train/txt.py style)
+            entry = entry.state_dict()
+        out[name] = {k: v.detach().cpu().numpy() for k, v in entry.items()}
+    return out
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from txt2vid_tpu.config import create_object
+    from txt2vid_tpu.gan.cond_gan import CondGan
+    from txt2vid_tpu.gan.train_step import TrainConfig, init_state_abstract
+    from txt2vid_tpu.utils import load_pickle, status
+    from txt2vid_tpu.utils.checkpoint import save_state
+
+    sds = load_reference_checkpoint(args.ckpt)
+    status(f"reference checkpoint entries: {sorted(sds)}")
+
+    cond_dim = 0
+    txt_encoder = None
+    if "cond" in sds:
+        vocab_size = args.vocab_size or len(load_pickle(args.vocab))
+        txt_encoder = create_object(args.sent, vocab_size=vocab_size)
+        cond_dim = txt_encoder.encoding_size
+
+    gen = create_object(args.G, cond_dim=cond_dim)
+    d_names = args.discrim_names or [f"discrim-{i}" for i in range(len(args.D))]
+    discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+
+    # zero-state template with the exact target structure (same recipe as
+    # sample.py), then splice the converted variables in
+    config = TrainConfig(frame_sizes=tuple(args.frame_sizes),
+                         latent_size=gen.latent_size)
+    batch = {"video": jnp.zeros((2, args.num_frames, args.frame_sizes[-1],
+                                 args.frame_sizes[-1], args.num_channels),
+                                jnp.float32)}
+    if txt_encoder is not None:
+        batch["captions"] = jnp.ones((2, 8), jnp.int32)
+        batch["lengths"] = jnp.full((2,), 8, jnp.int32)
+    opt = optax.adam(1e-4)
+    state = init_state_abstract(gan, jax.random.key(0), batch, opt, opt, config)
+
+    def check(name, got, want_tree):
+        got_paths = {jax.tree_util.keystr(kp)
+                     for kp, _ in jax.tree_util.tree_leaves_with_path(got)}
+        want_paths = {jax.tree_util.keystr(kp)
+                      for kp, _ in jax.tree_util.tree_leaves_with_path(want_tree)}
+        missing, extra = want_paths - got_paths, got_paths - want_paths
+        assert not missing and not extra, \
+            f"{name}: imported tree mismatches the target template " \
+            f"(family/config flags must match the reference run)\n" \
+            f"  missing from import: {sorted(missing)[:8]}\n" \
+            f"  unexpected in import: {sorted(extra)[:8]}"
+
+        def leaf(src, tgt):
+            assert np.shape(src) == tgt.shape, \
+                f"{name}: shape {np.shape(src)} != target {tgt.shape}"
+            return np.asarray(src, tgt.dtype)
+
+        return jax.tree_util.tree_map(leaf, got, want_tree)
+
+    g_vars = multiscale_gen_vars(sds["gen"])
+    new = {"g_vars": check("gen", g_vars, state.g_vars)}
+    d_vars = []
+    for name, tmpl in zip(d_names, state.d_vars):
+        d_vars.append(check(name, multiscale_discrim_vars(sds[name]), tmpl))
+    new["d_vars"] = tuple(d_vars)
+    if txt_encoder is not None:
+        new["txt_vars"] = check("cond", seq2seq_vars(sds["cond"]), state.txt_vars)
+
+    state = state.replace(**new)
+    save_state(state, args.out)
+    status(f"imported -> {args.out} (fresh optimizer state, step 0); usable with "
+           f"--weights in train/sample/eval")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--ckpt", required=True, help="reference torch checkpoint")
+    p.add_argument("--out", required=True, help="output txt2vid_tpu checkpoint")
+    p.add_argument("--G", required=True)
+    p.add_argument("--D", nargs="+", required=True)
+    p.add_argument("--discrim_names", nargs="+", default=None,
+                   help="checkpoint keys of the discriminators "
+                        "(default discrim-0..N, reference cond_gan.py:13-14)")
+    p.add_argument("--sent", default="txt2vid_tpu.models.txt.Seq2Seq")
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--vocab_size", type=int, default=None)
+    p.add_argument("--frame_sizes", type=int, nargs="+", default=[8, 16, 32, 64])
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--num_channels", type=int, default=3)
+    main(p.parse_args())
