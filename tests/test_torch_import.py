@@ -93,7 +93,7 @@ def _import(tmp_path):
              '"use_pallas": false}}')
     out = str(tmp_path / "imported")
     main(argparse.Namespace(
-        ckpt=ckpt, out=out, G=gspec, D=[dspec], discrim_names=None,
+        ckpt=ckpt, out=out, G=gspec, D=[dspec], discrim_names=None, M=None,
         sent="txt2vid_tpu.models.txt.Seq2Seq", vocab=None, vocab_size=VOCAB,
         frame_sizes=list(FRAME_SIZES), num_frames=NUM_FRAMES, num_channels=1))
     return gen, dis, enc, gspec, dspec, out
@@ -175,3 +175,165 @@ class TestTorchImport:
         with pytest.raises((MissingKey, KeyError)):
             multiscale_gen_vars(
                 {k: v.numpy() for k, v in dis.state_dict().items()})
+
+
+def _randomize_bn(*mods, seed=1):
+    g = torch.Generator().manual_seed(seed)
+    for mod in mods:
+        for m in mod.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                              torch.nn.BatchNorm3d)):
+                m.running_mean.normal_(generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def _sd(mod):
+    return {k: v.numpy() for k, v in mod.state_dict().items()}
+
+
+class TestTCWYTImport:
+    def test_full_tcwyt_checkpoint_with_sample_mapping(self, tmp_path):
+        """The reference run.sh family: TCWYT gen + video/frame/motion discrims +
+        FrameMap (--M) + encoder, through the import CLI."""
+        from txt2vid.models.tcwyt.frame_discrim import (FrameDiscrim as RefF,
+                                                        FrameMap as RefM)
+        from txt2vid.models.tcwyt.gen import Gen as RefG
+        from txt2vid.models.tcwyt.motion_discrim import MotionDiscrim as RefMo
+        from txt2vid.models.tcwyt.video_discrim import VideoDiscrim as RefV
+        from txt2vid.models.txt.basic import Seq2Seq as RefS
+
+        from txt2vid_tpu.compat.torch_import import main
+
+        torch.manual_seed(41)
+        enc = RefS(vocab_size=VOCAB)
+        cd = enc.encoder.encoding_size
+        gen = RefG(z_size=10, cond_dim=cd, num_channels=3, scale_factor=0.125)
+        dv = RefV(cond_dim=cd, mid_ch=64)
+        df = RefF(cond_dim=cd)
+        dm = RefMo(cond_dim=cd)
+        fmap = RefM()
+        _randomize_bn(gen, dv, df, dm, fmap, seed=42)
+
+        ckpt = str(tmp_path / "ref_tcwyt")
+        opt = torch.optim.Adam(gen.parameters())
+        torch.save({"optG": opt.state_dict(), "optD": opt.state_dict(),
+                    "gen": gen.state_dict(), "cond": enc.state_dict(),
+                    "sample_mapping": fmap.state_dict(),
+                    "discrim-0": dv.state_dict(), "discrim-1": df.state_dict(),
+                    "discrim-2": dm.state_dict()}, ckpt)
+
+        gspec = ('{"class": "txt2vid_tpu.models.tcwyt.Gen", "args": '
+                 '{"z_size": 10, "num_channels": 3, "scale_factor": 0.125}}')
+        dspecs = [
+            '{"class": "txt2vid_tpu.models.tcwyt.VideoDiscrim", "args": {"mid_ch": 64}}',
+            'txt2vid_tpu.models.tcwyt.FrameDiscrim',
+            'txt2vid_tpu.models.tcwyt.MotionDiscrim',
+        ]
+        out = str(tmp_path / "imported_tcwyt")
+        main(argparse.Namespace(
+            ckpt=ckpt, out=out, G=gspec, D=dspecs, discrim_names=None,
+            M="txt2vid_tpu.models.tcwyt.FrameMap",
+            sent="txt2vid_tpu.models.txt.Seq2Seq", vocab=None, vocab_size=VOCAB,
+            frame_sizes=[48], num_frames=16, num_channels=3))
+
+        # restore and compare forwards
+        import optax
+
+        from txt2vid_tpu.config import create_object
+        from txt2vid_tpu.gan.cond_gan import CondGan
+        from txt2vid_tpu.gan.train_step import TrainConfig, init_state_abstract
+        from txt2vid_tpu.models.txt import Seq2Seq
+        from txt2vid_tpu.utils.checkpoint import restore_state
+
+        txt = Seq2Seq(vocab_size=VOCAB)
+        jgen = create_object(gspec, cond_dim=txt.encoding_size)
+        jds = [create_object(d, cond_dim=txt.encoding_size) for d in dspecs]
+        jmap = create_object("txt2vid_tpu.models.tcwyt.FrameMap")
+        gan = CondGan(gen=jgen, discrims=jds, cond_encoder=txt,
+                      sample_mapping=jmap)
+        batch = {"video": jnp.zeros((2, 16, 48, 48, 3), jnp.float32),
+                 "captions": jnp.ones((2, 8), jnp.int32),
+                 "lengths": jnp.full((2,), 8, jnp.int32)}
+        opt2 = optax.adam(1e-4)
+        state = init_state_abstract(gan, jax.random.key(0), batch, opt2, opt2,
+                                    TrainConfig(frame_sizes=(48,), latent_size=10))
+        state = restore_state(state, out)
+
+        rng = np.random.default_rng(43)
+        z = rng.standard_normal((2, 10)).astype(np.float32)
+        cond = rng.standard_normal((2, cd)).astype(np.float32)
+        gen.eval()
+        with torch.no_grad():
+            v_ref = gen(torch.tensor(z), cond=torch.tensor(cond))
+        v = jgen.apply(state.g_vars, jnp.asarray(z), cond=jnp.asarray(cond),
+                       train=False)
+        _assert_close(np.asarray(v).transpose(0, 4, 1, 2, 3), v_ref, 3e-3,
+                      "imported tcwyt gen")
+
+        vids = rng.standard_normal((2, 3, 16, 48, 48)).astype(np.float32)
+        vids_j = jnp.asarray(vids.transpose(0, 2, 3, 4, 1))
+        dv.eval(), fmap.eval(), df.eval(), dm.eval()
+        with torch.no_grad():
+            yv_ref = dv(x=torch.tensor(vids), cond=torch.tensor(cond))
+            xb_ref = fmap(torch.tensor(vids))
+            yf_ref = df(cond=torch.tensor(cond), xbar=xb_ref)
+            ym_ref = dm(cond=torch.tensor(cond), xbar=xb_ref)
+        yv = jds[0].apply(state.d_vars[0], vids_j, jnp.asarray(cond), train=False)
+        _assert_close(jnp.mean(yv), yv_ref, 2e-3, "imported video discrim")
+        xb = jmap.apply(state.m_vars, vids_j, train=False)
+        _assert_close(np.asarray(xb).transpose(1, 0, 4, 2, 3), xb_ref, 3e-3,
+                      "imported frame map")
+        yf = jds[1].apply(state.d_vars[1], cond=jnp.asarray(cond), xbar=xb,
+                          train=False)
+        _assert_close(np.asarray(yf).T, yf_ref, 3e-3, "imported frame discrim")
+        ym = jds[2].apply(state.d_vars[2], cond=jnp.asarray(cond), xbar=xb,
+                          train=False)
+        _assert_close(np.asarray(ym).T, ym_ref, 3e-3, "imported motion discrim")
+
+
+class TestConverterLevel:
+    def test_tgan_gen(self):
+        from txt2vid.models.tgan.gen import Gen as Ref
+        from txt2vid_tpu.compat.torch_import import tgan_gen_vars
+        from txt2vid_tpu.models.tgan import Gen
+
+        torch.manual_seed(51)
+        ref = Ref(z_slow_dim=8, z_fast_dim=8, cond_dim=4, out_channels=3,
+                  bottom_width=4, conv_ch=32)
+        _randomize_bn(ref, seed=52)
+        rng = np.random.default_rng(53)
+        z = rng.standard_normal((2, 8)).astype(np.float32)
+        cond = rng.standard_normal((2, 4)).astype(np.float32)
+        ref.eval()
+        with torch.no_grad():
+            y_ref = ref(torch.tensor(z), cond=torch.tensor(cond))
+        m = Gen(z_slow_dim=8, z_fast_dim=8, cond_dim=4, out_channels=3,
+                bottom_width=4, conv_ch=32)
+        y = m.apply(tgan_gen_vars(_sd(ref)), jnp.asarray(z), jnp.asarray(cond),
+                    train=False)
+        _assert_close(np.asarray(y).transpose(0, 4, 1, 2, 3), y_ref, 3e-3,
+                      "imported tgan gen")
+
+    def test_img_pair(self):
+        from txt2vid.models.img.models import Discrim as RefD
+        from txt2vid.models.img.models import Gen as RefG
+        from txt2vid_tpu.compat.torch_import import img_discrim_vars, img_gen_vars
+        from txt2vid_tpu.models.img import Discrim, Gen
+
+        torch.manual_seed(54)
+        ref_g, ref_d = RefG(), RefD()
+        _randomize_bn(ref_g, seed=55)
+        rng = np.random.default_rng(56)
+        z = rng.standard_normal((2, 128)).astype(np.float32)
+        x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+        ref_g.eval(), ref_d.eval()
+        ref_g.dim = 64
+        with torch.no_grad():
+            yg_ref = ref_g(torch.tensor(z))
+            yd_ref = ref_d(x=torch.tensor(x))
+        yg = Gen().apply(img_gen_vars(_sd(ref_g)), jnp.asarray(z), train=False)
+        _assert_close(np.asarray(yg).transpose(0, 3, 1, 2), yg_ref, 3e-3,
+                      "imported img gen")
+        yd = Discrim().apply(img_discrim_vars(_sd(ref_d)),
+                             jnp.asarray(x.transpose(0, 2, 3, 1)))
+        _assert_close(yd, yd_ref, 3e-3, "imported img discrim")

@@ -84,6 +84,18 @@ def sd_dense(sd, p):
     return out
 
 
+def sd_convT(sd, p):
+    """torch ConvTranspose{1,2,3}d at `p` -> flax nn.ConvTranspose params:
+    weight (I, O, *k) -> spatially flipped kernel (*k, I, O)."""
+    w = _get(sd, f"{p}.weight")
+    w = np.flip(w, axis=tuple(range(2, w.ndim)))
+    out = {"kernel": np.ascontiguousarray(
+        np.transpose(w, tuple(range(2, w.ndim)) + (0, 1)))}
+    if f"{p}.bias" in sd:
+        out["bias"] = _np(sd[f"{p}.bias"])
+    return out
+
+
 def sd_bn(sd, p):
     """torch BatchNorm at `p` -> (params, batch_stats)."""
     return ({"scale": _get(sd, f"{p}.weight"), "bias": _get(sd, f"{p}.bias")},
@@ -307,6 +319,206 @@ def seq2seq_vars(sd):
     return {"params": params}
 
 
+# --- TCWYT family (reference models/tcwyt/) ---------------------------------------
+
+def tcwyt_gen_vars(sd):
+    """TCWYT Gen (reference tcwyt/gen.py): input_map MLP+BN1d, then the seq
+    Sequential of 5 ConvTranspose3d (+BN3d between) at indices 0,3,6,9,12."""
+    sd = strip_data_parallel(sd)
+    params = {"input_map": sd_dense(sd, "input_map.0")}
+    stats = {}
+    params["input_bn"], stats["input_bn"] = sd_bn(sd, "input_map.1")
+    for di, si in enumerate((0, 3, 6, 9, 12)):
+        params[f"dc{di}"] = sd_convT(sd, f"seq.{si}")
+        if di < 4:
+            params[f"bn{di}"], stats[f"bn{di}"] = sd_bn(sd, f"seq.{si + 1}")
+    return {"params": params, "batch_stats": stats}
+
+
+def tcwyt_video_discrim_vars(sd):
+    """TCWYT VideoDiscrim (reference tcwyt/video_discrim.py): x_map conv pyramid
+    (indices 0,2,3,5,6,8,9), optional cond_map MLP + pred Sequential (cond) or a
+    single pred conv (uncond)."""
+    sd = strip_data_parallel(sd)
+    params = {"conv0": sd_conv(sd, "x_map.0"), "conv1": sd_conv(sd, "x_map.2"),
+              "conv2": sd_conv(sd, "x_map.5"), "conv3": sd_conv(sd, "x_map.8")}
+    stats = {}
+    for i, si in zip((1, 2, 3), (3, 6, 9)):
+        params[f"bn{i}"], stats[f"bn{i}"] = sd_bn(sd, f"x_map.{si}")
+    if "cond_map.0.weight" in sd:
+        params["cond_map"] = sd_dense(sd, "cond_map.0")
+        params["cond_bn"], stats["cond_bn"] = sd_bn(sd, "cond_map.1")
+        params["pred0"] = sd_conv(sd, "pred.0")
+        params["pred_bn"], stats["pred_bn"] = sd_bn(sd, "pred.1")
+        params["pred1"] = sd_conv(sd, "pred.3")
+    else:
+        params["pred"] = sd_conv(sd, "pred")
+    return {"params": params, "batch_stats": stats}
+
+
+def tcwyt_frame_map_vars(sd):
+    """TCWYT FrameMap, the --M sample mapping (reference frame_discrim.py:4-37):
+    per-frame conv pyramid at frame_map indices 0,3,6,9 with BNs between."""
+    sd = strip_data_parallel(sd)
+    params, stats = {}, {}
+    for di, si in enumerate((0, 3, 6, 9)):
+        params[f"conv{di}"] = sd_conv(sd, f"frame_map.{si}")
+        if di < 3:
+            params[f"bn{di}"], stats[f"bn{di}"] = sd_bn(sd, f"frame_map.{si + 1}")
+    return {"params": params, "batch_stats": stats}
+
+
+def _tcwyt_sent_head_vars(sd, map_attr):
+    """Shared frame/motion discriminator head (reference frame_discrim.py:40-90,
+    motion_discrim.py): per-frame 1x1 conv+BN map, tiled sent_map MLP, predictor."""
+    sd = strip_data_parallel(sd)
+    params = {"map": sd_conv(sd, f"{map_attr}.0"),
+              "pred0": sd_conv(sd, "predictor.0"),
+              "pred1": sd_conv(sd, "predictor.3"),
+              "sent_map": sd_dense(sd, "sent_map.0")}
+    stats = {}
+    params["map_bn"], stats["map_bn"] = sd_bn(sd, f"{map_attr}.1")
+    params["pred_bn"], stats["pred_bn"] = sd_bn(sd, "predictor.1")
+    params["sent_bn"], stats["sent_bn"] = sd_bn(sd, "sent_map.1")
+    return {"params": {"head": params}, "batch_stats": {"head": stats}}
+
+
+def tcwyt_frame_discrim_vars(sd):
+    return _tcwyt_sent_head_vars(sd, "frame_map")
+
+
+def tcwyt_motion_discrim_vars(sd):
+    return _tcwyt_sent_head_vars(sd, "motion_map")
+
+
+# --- TGAN family (reference models/tgan/) ------------------------------------------
+
+def _fsgen_vars(sd, p):
+    """FrameSeedGenerator (reference tgan/temporal_gen.py): 1D deconv stack
+    dc0..dc4 with BN1d between."""
+    params, stats = {}, {}
+    for i in range(5):
+        params[f"dc{i}"] = sd_convT(sd, f"{p}.dc{i}")
+        if i < 4:
+            params[f"bn{i}"], stats[f"bn{i}"] = sd_bn(sd, f"{p}.bn{i}")
+    return params, stats
+
+
+def tgan_gen_vars(sd):
+    """TGAN Gen (reference tgan/gen.py): _fsgen FrameSeedGenerator + _vgen
+    VideoFrameGenerator. The l0s/l0f dense outputs are viewed (C, bw, bw) c-major
+    by torch and (bw, bw, C) by ours — output rows permuted; bw inferred from the
+    weights (rows / (conv_ch/2))."""
+    sd = strip_data_parallel(sd)
+    p_fs, s_fs = _fsgen_vars(sd, "_fsgen")
+
+    conv_ch = _get(sd, "_vgen.dc1.weight").shape[0]       # ConvT (I, O, k, k)
+    rows = _get(sd, "_vgen.l0s.weight").shape[0]
+    bw = int(round((rows // (conv_ch // 2)) ** 0.5))
+    assert bw * bw * (conv_ch // 2) == rows, \
+        f"vgen l0s rows {rows} not (bw^2 * {conv_ch // 2})"
+    perm = np.arange(rows).reshape(conv_ch // 2, bw, bw).transpose(1, 2, 0) \
+        .reshape(-1)
+
+    def dense_perm(p):
+        d = sd_dense(sd, p)
+        return {"kernel": d["kernel"][:, perm], "bias": d["bias"][perm]}
+
+    def bn_perm(p):
+        bp, bs = sd_bn(sd, p)
+        return ({k: v[perm] for k, v in bp.items()},
+                {k: v[perm] for k, v in bs.items()})
+
+    p_vg = {"l0s": dense_perm("_vgen.l0s"), "l0f": dense_perm("_vgen.l0f")}
+    s_vg = {}
+    p_vg["bn0s"], s_vg["bn0s"] = bn_perm("_vgen.bn0s")
+    p_vg["bn0f"], s_vg["bn0f"] = bn_perm("_vgen.bn0f")
+    for i in range(1, 5):
+        p_vg[f"dc{i}"] = sd_convT(sd, f"_vgen.dc{i}")
+        p_vg[f"bn{i}"], s_vg[f"bn{i}"] = sd_bn(sd, f"_vgen.bn{i}")
+    p_vg["dc5"] = sd_convT(sd, "_vgen.dc5")
+
+    return {"params": {"fsgen": p_fs, "vgen": p_vg},
+            "batch_stats": {"fsgen": s_fs, "vgen": s_vg}}
+
+
+# --- image WGAN-GP pair (reference models/img/models.py) ---------------------------
+
+def _img_ln_affine(sd, p):
+    """torch LayerNorm([C, H, W]) affine -> ours (H, W, C)."""
+    return {"scale": _get(sd, f"{p}.weight").transpose(1, 2, 0),
+            "bias": _get(sd, f"{p}.bias").transpose(1, 2, 0)}
+
+
+def img_gen_vars(sd):
+    """img Gen (reference img/models.py:172-202): ln1 dense rows are (C, 4, 4)
+    c-major in torch, (4, 4, C)-major in ours; dim inferred from rb1's shortcut."""
+    sd = strip_data_parallel(sd)
+    ch8 = _get(sd, "rb1.conv_shortcut.conv.conv.weight").shape[1]   # 8*dim in
+    rows = _get(sd, "ln1.weight").shape[0]
+    assert rows == ch8 * 16, f"img gen ln1 rows {rows} != 16*{ch8}"
+    perm = np.arange(rows).reshape(ch8, 4, 4).transpose(1, 2, 0).reshape(-1)
+    ln1 = sd_dense(sd, "ln1")
+    params = {"ln1": {"kernel": ln1["kernel"][:, perm], "bias": ln1["bias"][perm]},
+              "conv1": sd_conv(sd, "conv1.conv")}
+    stats = {}
+    params["bn"], stats["bn"] = sd_bn(sd, "bn")
+    for i in range(1, 5):
+        rb, rs = {}, {}
+        rb["conv_shortcut"] = sd_conv(sd, f"rb{i}.conv_shortcut.conv.conv")
+        rb["conv1"] = sd_conv(sd, f"rb{i}.conv_1.conv.conv")
+        rb["conv2"] = sd_conv(sd, f"rb{i}.conv_2.conv")
+        rb["bn1"], rs["bn1"] = sd_bn(sd, f"rb{i}.bn1")
+        rb["bn2"], rs["bn2"] = sd_bn(sd, f"rb{i}.bn2")
+        params[f"rb{i}"], stats[f"rb{i}"] = rb, rs
+    return {"params": params, "batch_stats": stats}
+
+
+def img_discrim_vars(sd):
+    """img Discrim (reference img/models.py:143-170): final ln1 dense columns are
+    (C, 4, 4) c-major; down-block norms are LayerNorms over (C, H, W)."""
+    sd = strip_data_parallel(sd)
+    ch8 = _get(sd, "rb4.conv_2.conv.conv.weight").shape[0]          # 8*dim out
+    w = _get(sd, "ln1.weight")                                      # (1, 16*8d)
+    perm = np.arange(w.shape[1]).reshape(ch8, 4, 4).transpose(1, 2, 0).reshape(-1)
+    params = {"conv1": sd_conv(sd, "conv1.conv"),
+              "ln1": {"kernel": w[:, perm].T, "bias": _get(sd, "ln1.bias")}}
+    for i in range(1, 5):
+        params[f"rb{i}"] = {
+            "conv_shortcut": sd_conv(sd, f"rb{i}.conv_shortcut.conv.conv"),
+            "conv1": sd_conv(sd, f"rb{i}.conv_1.conv"),
+            "conv2": sd_conv(sd, f"rb{i}.conv_2.conv.conv"),
+            "ln1": _img_ln_affine(sd, f"rb{i}.bn1"),
+            "ln2": _img_ln_affine(sd, f"rb{i}.bn2")}
+    return {"params": params}
+
+
+# --- family dispatch ----------------------------------------------------------------
+
+def converter_for(module):
+    """Pick the state_dict converter for a constructed txt2vid_tpu module."""
+    name = type(module).__name__
+    pkg = type(module).__module__.rsplit(".", 1)[-1]
+    table = {
+        ("tganv2", "MultiScaleGen"): multiscale_gen_vars,
+        ("tganv2", "MultiScaleDiscrim"): multiscale_discrim_vars,
+        ("tcwyt", "Gen"): tcwyt_gen_vars,
+        ("tcwyt", "VideoDiscrim"): tcwyt_video_discrim_vars,
+        ("tcwyt", "FrameDiscrim"): tcwyt_frame_discrim_vars,
+        ("tcwyt", "MotionDiscrim"): tcwyt_motion_discrim_vars,
+        ("tcwyt", "FrameMap"): tcwyt_frame_map_vars,
+        ("tgan", "Gen"): tgan_gen_vars,
+        ("img", "Gen"): img_gen_vars,
+        ("img", "Discrim"): img_discrim_vars,
+        ("resnet3d", "Resnet3D"): resnet3d_vars,
+    }
+    try:
+        return table[(pkg, name)]
+    except KeyError:
+        raise NotImplementedError(
+            f"no reference-checkpoint converter for {pkg}.{name}") from None
+
+
 # --- checkpoint assembly ----------------------------------------------------------
 
 def load_reference_checkpoint(path):
@@ -348,7 +560,9 @@ def main(args):
     gen = create_object(args.G, cond_dim=cond_dim)
     d_names = args.discrim_names or [f"discrim-{i}" for i in range(len(args.D))]
     discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
-    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+    sample_mapping = create_object(args.M) if args.M else None
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
+                  sample_mapping=sample_mapping)
 
     # zero-state template with the exact target structure (same recipe as
     # sample.py), then splice the converted variables in
@@ -382,14 +596,18 @@ def main(args):
 
         return jax.tree_util.tree_map(leaf, got, want_tree)
 
-    g_vars = multiscale_gen_vars(sds["gen"])
+    g_vars = converter_for(gen)(sds["gen"])
     new = {"g_vars": check("gen", g_vars, state.g_vars)}
     d_vars = []
-    for name, tmpl in zip(d_names, state.d_vars):
-        d_vars.append(check(name, multiscale_discrim_vars(sds[name]), tmpl))
+    for name, d, tmpl in zip(d_names, discrims, state.d_vars):
+        d_vars.append(check(name, converter_for(d)(sds[name]), tmpl))
     new["d_vars"] = tuple(d_vars)
     if txt_encoder is not None:
         new["txt_vars"] = check("cond", seq2seq_vars(sds["cond"]), state.txt_vars)
+    if sample_mapping is not None:
+        new["m_vars"] = check("sample_mapping",
+                              converter_for(sample_mapping)(sds["sample_mapping"]),
+                              state.m_vars)
 
     state = state.replace(**new)
     save_state(state, args.out)
@@ -408,6 +626,9 @@ if __name__ == "__main__":
     p.add_argument("--discrim_names", nargs="+", default=None,
                    help="checkpoint keys of the discriminators "
                         "(default discrim-0..N, reference cond_gan.py:13-14)")
+    p.add_argument("--M", default=None,
+                   help="sample-mapping spec (TCWYT FrameMap) when the reference "
+                        "run used --M")
     p.add_argument("--sent", default="txt2vid_tpu.models.txt.Seq2Seq")
     p.add_argument("--vocab", default=None)
     p.add_argument("--vocab_size", type=int, default=None)

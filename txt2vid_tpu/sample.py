@@ -48,7 +48,11 @@ def main(args):
 
     gen = create_object(args.G, cond_dim=cond_dim)
     discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
-    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder)
+    # --M must mirror the training run: the checkpoint's m_vars only restores
+    # into a state template that also carries the sample mapping
+    sample_mapping = create_object(args.M) if args.M else None
+    gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
+                  sample_mapping=sample_mapping)
 
     # rebuild the state template so the checkpoint can be restored into it
     config = TrainConfig(frame_sizes=tuple(args.frame_sizes),
@@ -91,6 +95,9 @@ if __name__ == "__main__":
     p.add_argument("--weights", required=True)
     p.add_argument("--G", required=True)
     p.add_argument("--D", nargs="+", required=True)
+    p.add_argument("--M", default=None,
+                   help="sample-mapping spec when the checkpoint was trained "
+                        "with --M (e.g. TCWYT FrameMap)")
     p.add_argument("--sent", default=None)
     p.add_argument("--vocab", default=None)
     p.add_argument("--dont_use_sent", action="store_true")
