@@ -50,7 +50,7 @@ def main(args):
     discrims = [create_object(d, cond_dim=cond_dim) for d in args.D]
     # --M must mirror the training run: the checkpoint's m_vars only restores
     # into a state template that also carries the sample mapping
-    sample_mapping = create_object(args.M) if args.M else None
+    sample_mapping = create_object(args.M) if getattr(args, "M", None) else None
     gan = CondGan(gen=gen, discrims=discrims, cond_encoder=txt_encoder,
                   sample_mapping=sample_mapping)
 
