@@ -92,3 +92,24 @@ def test_eval_cli(tiny_checkpoint):
     report = eval_cli.main(args)
     assert np.isfinite(report["fid_random_conv"])
     assert report["fid_random_conv"] >= 0
+
+def test_console_script_entry_points():
+    """pyproject.toml [project.scripts] names resolve to callables, and each cli()
+    accepts an argv list (missing required args -> argparse SystemExit(2))."""
+    import contextlib
+    import importlib
+    import io
+    import pathlib
+    import tomllib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    scripts = tomllib.load(open(root / "pyproject.toml", "rb"))["project"]["scripts"]
+    assert set(scripts) == {"txt2vid-train", "txt2vid-train-txt",
+                            "txt2vid-sample", "txt2vid-serve"}
+    for target in scripts.values():
+        mod_name, fn_name = target.split(":")
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        with pytest.raises(SystemExit) as exc:
+            with contextlib.redirect_stderr(io.StringIO()):
+                fn([])
+        assert exc.value.code == 2

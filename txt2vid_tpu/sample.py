@@ -90,7 +90,8 @@ def main(args):
         status(f"wrote {path}")
 
 
-if __name__ == "__main__":
+def cli(argv=None):
+    """Console-script entry point (pyproject `txt2vid-sample`)."""
     p = argparse.ArgumentParser()
     p.add_argument("--weights", required=True)
     p.add_argument("--G", required=True)
@@ -108,4 +109,8 @@ if __name__ == "__main__":
     p.add_argument("--num_samples", type=int, default=8)
     p.add_argument("--out_samples", default="out_samples")
     p.add_argument("--seed", type=int, default=0)
-    main(p.parse_args())
+    main(p.parse_args(argv))
+
+
+if __name__ == "__main__":
+    cli()

@@ -343,5 +343,10 @@ def build_parser():
     return parser
 
 
+def cli(argv=None):
+    """Console-script entry point (pyproject `txt2vid-train`)."""
+    main(build_parser().parse_args(argv))
+
+
 if __name__ == '__main__':
-    main(build_parser().parse_args())
+    cli()

@@ -142,7 +142,8 @@ def main(args):
     status(f"saved {args.out}/txt_final")
 
 
-if __name__ == "__main__":
+def cli(argv=None):
+    """Console-script entry point (pyproject `txt2vid-train-txt`)."""
     p = argparse.ArgumentParser()
     p.add_argument("--sentences", required=True, help="{vid: [captions]} pickle")
     p.add_argument("--vocab", default=None)
@@ -157,4 +158,8 @@ if __name__ == "__main__":
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--seed", type=int, default=None)
-    main(p.parse_args())
+    main(p.parse_args(argv))
+
+
+if __name__ == "__main__":
+    cli()
