@@ -21,10 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from txt2vid_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache()  # backend-scoped (CPU runs must not pollute the TPU cache)
 
 import jax.numpy as jnp
 import numpy as np

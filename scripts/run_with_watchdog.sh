@@ -12,6 +12,14 @@ set -u
 LOG="$1"; STALL="$2"; TOTAL="$3"; shift 3
 [ "$1" = "--" ] && shift
 
+# Preserve the previous attempt's log instead of truncating it: retry loops
+# reuse the same LOG path, and a truncated log destroys the crash traceback
+# the retry was reacting to (this lost the first 3-scale attempt's rc=1 cause).
+if [ -s "$LOG" ]; then
+  N=1; while [ -e "$LOG.prev$N" ]; do N=$((N+1)); done
+  mv "$LOG" "$LOG.prev$N"
+fi
+
 "$@" > "$LOG" 2>&1 &
 PID=$!
 START=$(date +%s)

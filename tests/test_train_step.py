@@ -337,3 +337,61 @@ class TestSharedGenFwd:
         (s0, m0), (s1, m1) = self._run({"end2end": True}, cond=True)
         np.testing.assert_allclose(m1["loss_d"], m0["loss_d"], rtol=1e-4)
         np.testing.assert_allclose(m1["loss_g"], m0["loss_g"], rtol=1e-4)
+
+
+class TestLazyGP:
+    """--gp_every k (StyleGAN2 lazy regularization): the GP fires on
+    step % k == 0 with weight k*lambda, and is skipped entirely otherwise.
+    Semantics pinned by exact one-step equivalence: an on-step of
+    (gp_every=2, lambda/2) must reproduce (gp_every=1, lambda), and an
+    off-step must reproduce gp_lambda=-1 (no GP at all)."""
+
+    def _setup(self):
+        gen = img.Gen(dim=8)
+        discrim = img.Discrim(dim=8)
+        gan = CondGan(gen=gen, discrims=[discrim])
+        optG, optD = make_opts()
+        rng = np.random.default_rng(3)
+        batch = {"video": jnp.asarray(
+            rng.standard_normal((4, 64, 64, 3), dtype=np.float32).clip(-1, 1))}
+        return gan, optG, optD, batch
+
+    def _one_step(self, gan, optG, optD, batch, step_counter, **cfg_kwargs):
+        cfg = TrainConfig(frame_sizes=(64,), img_model=True, latent_size=128,
+                          **cfg_kwargs)
+        state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+        state = state.replace(step=jnp.asarray(step_counter, jnp.int32))
+        step = jax.jit(build_train_step(gan, L.WassersteinGanLoss(),
+                                        optG, optD, cfg))
+        s1, m1 = step(state, batch, jax.random.key(1))
+        return jax.device_get(s1), jax.device_get(m1)
+
+    def _assert_same(self, a, b):
+        (sa, ma), (sb, mb) = a, b
+        np.testing.assert_allclose(mb["loss_d"], ma["loss_d"], rtol=1e-5)
+        for (pa, la), (_, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(sa.d_vars[0]["params"]),
+                jax.tree_util.tree_leaves_with_path(sb.d_vars[0]["params"])):
+            # atol 5e-6: a lax.cond branch and the straight-line program fuse
+            # differently; observed f32 noise is ~1e-6 on isolated elements
+            np.testing.assert_allclose(
+                np.asarray(lb), np.asarray(la), atol=5e-6, rtol=1e-5,
+                err_msg=f"d{jax.tree_util.keystr(pa)}")
+
+    def test_on_step_matches_every_step_at_scaled_lambda(self):
+        gan, optG, optD, batch = self._setup()
+        ref = self._one_step(gan, optG, optD, batch, 0, gp_lambda=10.0, gp_every=1)
+        lazy = self._one_step(gan, optG, optD, batch, 0, gp_lambda=5.0, gp_every=2)
+        self._assert_same(ref, lazy)
+
+    def test_off_step_matches_no_gp(self):
+        gan, optG, optD, batch = self._setup()
+        ref = self._one_step(gan, optG, optD, batch, 1, gp_lambda=-1.0, gp_every=1)
+        lazy = self._one_step(gan, optG, optD, batch, 1, gp_lambda=5.0, gp_every=2)
+        self._assert_same(ref, lazy)
+
+    def test_on_off_actually_differ(self):
+        gan, optG, optD, batch = self._setup()
+        on = self._one_step(gan, optG, optD, batch, 0, gp_lambda=5.0, gp_every=2)
+        off = self._one_step(gan, optG, optD, batch, 1, gp_lambda=5.0, gp_every=2)
+        assert abs(on[1]["loss_d"] - off[1]["loss_d"]) > 1e-6

@@ -21,12 +21,9 @@ import jax
 
 # persistent compile cache (shared with the train CLI; first eval compile of a
 # big sampler can take minutes through remote transports)
-jax.config.update("jax_compilation_cache_dir",
-                  __import__("os").environ.get(
-                      "TXT2VID_JAX_CACHE",
-                      __import__("os").path.join(__import__("os").getcwd(),
-                                                 ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from txt2vid_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache()  # backend-scoped persistent compile cache (utils/cache.py)
 
 import numpy as np
 

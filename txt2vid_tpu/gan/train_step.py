@@ -38,6 +38,16 @@ class TrainConfig:
     discrim_steps: int = 1
     gen_steps: int = 1
     gp_lambda: float = -1.0
+    # Lazy gradient-penalty regularization (StyleGAN2 §5.1 "lazy regularization"):
+    # apply the GP term only every `gp_every`-th step, with its weight scaled by
+    # gp_every so the time-averaged regularization strength is unchanged. The GP
+    # is the most expensive part of a GP-bearing step (a second conditional D
+    # forward plus a double backward: +36-43% step time, RESULTS.md round 3), and
+    # its gradients change slowly relative to the optimizer steps, so amortizing
+    # it is a near-free speedup. 1 = the reference's every-step behavior. Off
+    # steps skip the GP computation entirely at runtime (lax.cond on the device
+    # step counter — both branches compile, one executes).
+    gp_every: int = 1
     end2end: bool = False
     # Reference --end2end puts encoder params in BOTH optimizers (gan.py:82-85).
     # False = encoder updated by the D phase only: the G phase cannot minimize its
@@ -237,29 +247,49 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         if config.end2end and state.txt_vars is not None:
             d_opt_params["txt"] = state.txt_vars["params"]
 
-        def d_loss_fn(opt_params, dkey):
-            d_vars_list = [
-                _merge_vars(v, p) for v, p in zip(state.d_vars, opt_params["d"])]
-            if config.end2end and has_cond:
-                cond = gan.encode(_merge_vars(state.txt_vars, opt_params["txt"]),
-                                  batch["captions"], batch["lengths"])
-                real_scales, cond_scales = scales_for(x, cond, k_pyr)
-            else:
-                real_scales, cond_scales = real_scales_const, cond_scales_const
-            ls, _, _ = gan.all_discrim_forward(
-                d_vars_list, real_scales=real_scales, fake_scales=fake_scales,
-                cond_scales=cond_scales, loss=losses,
-                gp_lambda=config.gp_lambda, key=dkey, m_vars=state.m_vars, train=True)
-            total = gan.weighted_sum(ls)
-            if config.mean_discrim_loss:
-                total = total / config.discrim_steps
-            return total
+        def make_d_loss(gp_lambda):
+            def d_loss_fn(opt_params, dkey):
+                d_vars_list = [
+                    _merge_vars(v, p) for v, p in zip(state.d_vars, opt_params["d"])]
+                if config.end2end and has_cond:
+                    cond = gan.encode(_merge_vars(state.txt_vars, opt_params["txt"]),
+                                      batch["captions"], batch["lengths"])
+                    real_scales, cond_scales = scales_for(x, cond, k_pyr)
+                else:
+                    real_scales, cond_scales = real_scales_const, cond_scales_const
+                ls, _, _ = gan.all_discrim_forward(
+                    d_vars_list, real_scales=real_scales, fake_scales=fake_scales,
+                    cond_scales=cond_scales, loss=losses,
+                    gp_lambda=gp_lambda, key=dkey, m_vars=state.m_vars, train=True)
+                total = gan.weighted_sum(ls)
+                if config.mean_discrim_loss:
+                    total = total / config.discrim_steps
+                return total
+            return d_loss_fn
+
+        d_loss_fn = make_d_loss(config.gp_lambda)
+        lazy_gp = config.gp_lambda > 0 and config.gp_every > 1
+        if lazy_gp:
+            # lazy regularization: GP on step % gp_every == 0, weight scaled by
+            # gp_every (time-averaged strength preserved); off steps run the
+            # no-GP branch — no second D forward, no double backward
+            do_gp = (state.step % config.gp_every) == 0
+            d_vg_on = jax.value_and_grad(
+                make_d_loss(config.gp_lambda * config.gp_every))
+            d_vg_off = jax.value_and_grad(make_d_loss(-1.0))
 
         opt_d_state = state.opt_d_state
         total_d_loss = 0.0
         for j in range(config.discrim_steps):
             dkey = jax.random.fold_in(k_d, j)
-            loss_d, grads = jax.value_and_grad(d_loss_fn)(d_opt_params, dkey)
+            if lazy_gp:
+                loss_d, grads = jax.lax.cond(
+                    do_gp,
+                    lambda a: d_vg_on(*a),
+                    lambda a: d_vg_off(*a),
+                    (d_opt_params, dkey))
+            else:
+                loss_d, grads = jax.value_and_grad(d_loss_fn)(d_opt_params, dkey)
             updates, opt_d_state = optD.update(grads, opt_d_state, d_opt_params)
             d_opt_params = optax.apply_updates(d_opt_params, updates)
             total_d_loss = total_d_loss + loss_d

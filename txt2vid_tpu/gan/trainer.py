@@ -28,6 +28,10 @@ def add_params_to_parser(parser: argparse.ArgumentParser):
     parser.add_argument('--discrim_steps', type=int, default=1)
     parser.add_argument('--gen_steps', type=int, default=1)
     parser.add_argument('--gp_lambda', type=float, default=-1)
+    parser.add_argument('--gp_every', type=int, default=1,
+                        help='lazy GP regularization: apply the gradient penalty '
+                             'only every k-th step with its weight scaled by k '
+                             '(StyleGAN2-style; 1 = reference every-step behavior)')
     parser.add_argument('--save_initial', action='store_true', default=False)
     parser.add_argument('--save_initial_examples', action='store_true', default=False)
     parser.add_argument('--save_model_period', type=int, default=100)

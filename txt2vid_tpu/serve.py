@@ -25,10 +25,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("TXT2VID_JAX_CACHE",
-                                 os.path.join(os.getcwd(), ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from txt2vid_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache()  # backend-scoped persistent compile cache (utils/cache.py)
 
 import jax.numpy as jnp
 import numpy as np

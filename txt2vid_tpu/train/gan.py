@@ -15,10 +15,9 @@ import os
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("TXT2VID_JAX_CACHE",
-                                 os.path.join(os.getcwd(), ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from txt2vid_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache()  # backend-scoped persistent compile cache (utils/cache.py)
 
 import optax
 
@@ -123,6 +122,7 @@ def main(args):
         discrim_steps=args.discrim_steps,
         gen_steps=args.gen_steps,
         gp_lambda=args.gp_lambda,
+        gp_every=args.gp_every,
         end2end=args.end2end or args.end2end_d_only,
         end2end_txt_in_g=not args.end2end_d_only,
         mean_discrim_loss=not args.no_mean_discrim_loss,
