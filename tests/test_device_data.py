@@ -127,6 +127,7 @@ class TestDeviceDataCLI:
             "--frame_sizes", "8", "16", "--subsample_input", "--num_channels", "1",
             "--D_loss", "txt2vid_tpu.gan.losses.RSGANLoss",
             "--batch_size", "8", "--epochs", "10", "--seed", "5",
+            "--clip_grad", "10.0",
             "--log_period", "5", "--save_model_period", "8",
             "--save_example_period", "8",
             "--out", str(out), "--out_samples", str(out / "samples")])

@@ -180,6 +180,29 @@ class TestCheckpoint:
         ck.wait()
         np.testing.assert_array_equal(captured["w"], np.ones(4, np.float32))
 
+    def test_async_checkpointer_host_snapshot(self):
+        """snapshot="host" pulls the state off-device AT ENQUEUE (zero extra
+        HBM for near-capacity models): the thread must receive host numpy, and
+        a donated/deleted device buffer after save() must not affect it."""
+        import jax
+        import jax.numpy as jnp
+
+        from txt2vid_tpu.utils.checkpoint import AsyncCheckpointer
+
+        captured = {}
+
+        def save_fn(state, path):
+            captured["type_ok"] = isinstance(state["w"], np.ndarray)
+            captured["w"] = np.asarray(state["w"]).copy()
+
+        ck = AsyncCheckpointer(save_fn=save_fn, snapshot="host")
+        dev = jnp.ones(4, jnp.float32)
+        ck.save({"w": dev}, "snap")
+        dev.delete()       # simulate donation invalidating the live buffer
+        ck.wait()
+        assert captured["type_ok"], "host snapshot should hand numpy to the thread"
+        np.testing.assert_array_equal(captured["w"], np.ones(4, np.float32))
+
 
 class TestShardedStep:
     def test_dp_mesh_8_devices(self):

@@ -51,6 +51,47 @@ class TestUncondTGANv2:
         assert params_differ(state.d_vars[0]["params"], s2.d_vars[0]["params"])
 
 
+class TestClipGrad:
+    def test_global_norm_clip_bounds_updates(self):
+        """--clip_grad chains optax.clip_by_global_norm ahead of the optimizers
+        (train/gan.py). Verified through the real train step with unit-lr SGD,
+        where the bound is directly observable: the applied G update's global
+        norm must equal min(grad_norm, clip) — i.e. <= clip when it binds —
+        and be far below the unclipped update."""
+        def run(clip):
+            gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16,
+                                       num_channels=1, fm_channels=16,
+                                       additional_blocks=(8,), num_frames=4,
+                                       use_pallas=False)
+            discrim = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1),
+                                               num_channels=1, with_attn=False,
+                                               use_pallas=False)
+            gan = CondGan(gen=gen, discrims=[discrim])
+            cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True,
+                              latent_size=16)
+            optG = optax.sgd(1.0)
+            optD = optax.sgd(1.0)
+            if clip is not None:
+                optG = optax.chain(optax.clip_by_global_norm(clip), optG)
+                optD = optax.chain(optax.clip_by_global_norm(clip), optD)
+            batch = {"video": jnp.zeros((4, 4, 16, 16, 1))}
+            state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+            step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+            s1, m1 = step(state, batch, jax.random.key(1))
+            assert np.isfinite(float(m1["loss_d"]))
+            delta = jnp.sqrt(sum(
+                jnp.sum((a - b).astype(jnp.float32) ** 2)
+                for a, b in zip(jax.tree_util.tree_leaves(state.g_vars["params"]),
+                                jax.tree_util.tree_leaves(s1.g_vars["params"]))))
+            return float(delta)
+
+        unclipped = run(None)
+        clip = 1e-3
+        clipped = run(clip)
+        assert unclipped > 10 * clip, unclipped  # the clip genuinely binds here
+        assert clipped <= clip * 1.01, (clipped, clip)
+
+
 class TestCondTCWYT:
     def test_end2end_with_encoder_and_mapping(self):
         vocab_size = 20

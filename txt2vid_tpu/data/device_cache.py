@@ -192,8 +192,9 @@ def jit_device_data_step(train_step, data: DeviceVideoData, mesh,
             lambda x: jax.lax.with_sharding_constraint(x, bs), batch)
         return train_step(state, batch, key)
 
+    from txt2vid_tpu.parallel.mesh import _donate
     jitted = jax.jit(step, in_shardings=(ss, rep, rep),
-                     out_shardings=(ss, rep), donate_argnums=(0,))
+                     out_shardings=(ss, rep), donate_argnums=_donate())
 
     def run(state, _host_batch_ignored, key):
         return jitted(state, arrays, key)

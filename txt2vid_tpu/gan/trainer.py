@@ -40,6 +40,10 @@ def add_params_to_parser(parser: argparse.ArgumentParser):
     parser.add_argument('--out', type=str, default='out')
     parser.add_argument('--out_samples', type=str, default='out_samples')
     parser.add_argument('--subsample_input', action='store_true', default=False)
+    parser.add_argument('--host_snapshot', action='store_true', default=False,
+                        help='checkpoint snapshots pull to host synchronously '
+                             '(zero extra HBM) instead of an on-device copy — '
+                             'use for models near HBM capacity')
     parser.add_argument('--rss_limit_gb', type=float, default=100.0,
                         help='end training cleanly (final checkpoint, resumable) '
                              'if process RSS exceeds this — the axon transport '
@@ -174,7 +178,8 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
         base_key = jax.random.fold_in(key, 0x5eed)
     iteration = int(state.step)
 
-    checkpointer = AsyncCheckpointer()
+    checkpointer = AsyncCheckpointer(
+        snapshot="host" if getattr(params, "host_snapshot", False) else "device")
 
     # Metrics are left on device until a log/save boundary: a host value fetch is a
     # device sync (expensive per-step on remote transports), and the train step must

@@ -180,7 +180,7 @@ def jit_scanned_train_step_sharded(train_step, k: int, mesh: Mesh,
     ss = rep if state_shardings is None else state_shardings
     bs = NamedSharding(mesh, P(None, axis_name))
     return jax.jit(scanned, in_shardings=(ss, bs, rep),
-                   out_shardings=(ss, rep), donate_argnums=(0,))
+                   out_shardings=(ss, rep), donate_argnums=_donate())
 
 
 def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp",
@@ -197,5 +197,14 @@ def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp",
         train_step,
         in_shardings=(ss, bs, rep),
         out_shardings=(ss, rep),
-        donate_argnums=(0,),   # reuse the old state's buffers for the new state
+        donate_argnums=_donate(),  # reuse the old state's buffers for the new state
     )
+
+
+def _donate():
+    """State-donation argnums for the train-step jits: donation is what keeps
+    the two-copies-of-state memory profile, but under --debug_nans the NaN
+    locator re-executes the step eagerly with the SAME input buffers — donated
+    (deleted) buffers would make the replay raise instead of pinpointing the
+    op. Keep the state alive when the debugger is on."""
+    return () if jax.config.jax_debug_nans else (0,)

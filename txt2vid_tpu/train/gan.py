@@ -90,6 +90,14 @@ def main(args):
                               mu_dtype=mu_dtype)
             optG = optax.adam(args.G_lr, b1=args.G_beta1, b2=args.G_beta2,
                               mu_dtype=mu_dtype)
+    if args.clip_grad:
+        # global-norm gradient clipping (standard GAN stabilizer; no reference
+        # counterpart — its runs rode out or died on loss spikes). Applied to
+        # both phases; the large-spike case this guards is documented in
+        # RESULTS.md (3-scale cond-128 NaN forensics).
+        status(f"Clipping gradients to global norm {args.clip_grad}")
+        optD = optax.chain(optax.clip_by_global_norm(args.clip_grad), optD)
+        optG = optax.chain(optax.clip_by_global_norm(args.clip_grad), optG)
 
     status(f"Loading data from {args.data}")
     dset = create_object(args.data, vocab=vocab, anno=args.anno,
@@ -306,6 +314,8 @@ def build_parser():
                              'avoids the G-phase encoder-collapse shortcut that '
                              'the reference\'s both-optimizers --end2end admits')
     parser.add_argument('--sgd', action='store_true', default=False)
+    parser.add_argument('--clip_grad', type=float, default=None,
+                        help='global gradient-norm clip for both optimizers')
     parser.add_argument('--bf16_nu', action='store_true', default=False,
                         help='store the second Adam moment in bfloat16 as well '
                              '(HBM byte lever; update math stays f32)')

@@ -41,18 +41,31 @@ class AsyncCheckpointer:
     (latest-wins, one slot) and started when the in-flight save finishes — so slow
     storage degrades checkpoint freshness, never checkpoint density to zero."""
 
-    def __init__(self, save_fn=None):
+    def __init__(self, save_fn=None, snapshot: str = "device"):
+        """snapshot="device" (default): snapshot via an on-device copy — the
+        transfer then overlaps training, but the copy costs a full extra state
+        in HBM until the save finishes (and a queued pending save holds a
+        second one). snapshot="host": pull the state to host SYNCHRONOUSLY at
+        enqueue (zero extra HBM, caller stalls for the d2h) and leave only
+        serialization + file IO to the thread — required for models that run
+        near HBM capacity (the 3-scale cond-128 arm OOM'd in a concurrent
+        device-snapshot save, RESULTS.md round 3)."""
+        assert snapshot in ("device", "host"), snapshot
         self._save_fn = save_fn or save_state   # injectable for tests
+        self._snapshot = snapshot
         self._lock = threading.Lock()
         self._thread = None
         self._pending = None                     # (state_snapshot, path) | None
 
     def save(self, state, path: str) -> bool:
         """Returns True if the save started immediately, False if queued."""
-        # device-side snapshot first: the train step DONATES the live state's
-        # buffers, so the background thread must not read them after the next step
-        snap = jax.tree_util.tree_map(
-            lambda a: a.copy() if hasattr(a, "copy") else a, state)
+        # snapshot first: the train step DONATES the live state's buffers, so
+        # the background thread must not read them after the next step
+        if self._snapshot == "host":
+            snap = jax.device_get(state)
+        else:
+            snap = jax.tree_util.tree_map(
+                lambda a: a.copy() if hasattr(a, "copy") else a, state)
         with self._lock:
             if self._thread is not None and self._thread.is_alive():
                 if self._pending is not None:
