@@ -46,6 +46,9 @@ class TestUncondTGANv2:
         s1, m1 = step(state, batch, jax.random.key(1))
         s2, m2 = step(s1, batch, jax.random.key(2))
         assert np.isfinite(float(m1["loss_d"])) and np.isfinite(float(m1["loss_g"]))
+        # pre-clip global grad norms are first-class metrics (blow-up forensics)
+        assert float(m1["grad_norm_d"]) > 0 and np.isfinite(float(m1["grad_norm_d"]))
+        assert float(m1["grad_norm_g"]) > 0 and np.isfinite(float(m1["grad_norm_g"]))
         assert int(s2.step) == 2
         assert params_differ(state.g_vars["params"], s2.g_vars["params"])
         assert params_differ(state.d_vars[0]["params"], s2.d_vars[0]["params"])

@@ -280,6 +280,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
 
         opt_d_state = state.opt_d_state
         total_d_loss = 0.0
+        d_grad_norm = g_grad_norm = jnp.zeros((), jnp.float32)
         for j in range(config.discrim_steps):
             dkey = jax.random.fold_in(k_d, j)
             if lazy_gp:
@@ -293,6 +294,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
             updates, opt_d_state = optD.update(grads, opt_d_state, d_opt_params)
             d_opt_params = optax.apply_updates(d_opt_params, updates)
             total_d_loss = total_d_loss + loss_d
+            d_grad_norm = optax.global_norm(grads)
 
         new_d_vars = tuple(
             _merge_vars(v, p) for v, p in zip(state.d_vars, d_opt_params["d"]))
@@ -366,6 +368,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                 fake_scales_live)
             (g_param_grads,) = vjp_fake(dfakes)
             grads = {"g": g_param_grads}
+            g_grad_norm = optax.global_norm(grads)
             updates, opt_g_state = optG.update(grads, opt_g_state, g_opt_params)
             g_opt_params = optax.apply_updates(g_opt_params, updates)
             total_g_loss = loss_g
@@ -380,6 +383,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                                                    g_opt_params)
                 g_opt_params = optax.apply_updates(g_opt_params, updates)
                 total_g_loss = total_g_loss + loss_g
+                g_grad_norm = optax.global_norm(grads)
                 if new_stats:
                     g_stats = new_stats["batch_stats"]
 
@@ -396,7 +400,13 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
             step=state.step + 1,
             g_vars=new_g_vars, d_vars=new_d_vars, txt_vars=new_txt_vars,
             opt_g_state=opt_g_state, opt_d_state=opt_d_state)
-        metrics = {"loss_d": total_d_loss, "loss_g": total_g_loss}
+        # pre-clip global gradient norms (last sub-step of each phase): one
+        # scalar reduction per phase, free against the step's HBM traffic, and
+        # the first thing to look at in a blow-up (e.g. the 3-scale cond-128
+        # NaN at iter ~950, RESULTS.md round 3) — also how a --clip_grad
+        # threshold is chosen.
+        metrics = {"loss_d": total_d_loss, "loss_g": total_g_loss,
+                   "grad_norm_d": d_grad_norm, "grad_norm_g": g_grad_norm}
         return new_state, metrics
 
     return train_step

@@ -169,6 +169,8 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
 
     gen_loss = RollingAvg(params.loss_window_size)
     discrim_loss = RollingAvg(params.loss_window_size)
+    gnorm_d = RollingAvg(params.loss_window_size)
+    gnorm_g = RollingAvg(params.loss_window_size)
     avg_data_load = RollingAvg(params.log_period)
     avg_iter = RollingAvg(params.log_period)
     data_watch, iter_watch = Stopwatch(), Stopwatch()
@@ -198,13 +200,26 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             # order; it is the iteration of the LAST step in the chunk
             ld_arr = np.atleast_1d(np.asarray(m["loss_d"], np.float64))
             lg_arr = np.atleast_1d(np.asarray(m["loss_g"], np.float64))
+            gd_arr = np.atleast_1d(np.asarray(
+                m.get("grad_norm_d", np.nan), np.float64))
+            gg_arr = np.atleast_1d(np.asarray(
+                m.get("grad_norm_g", np.nan), np.float64))
             for j, (ld, lg) in enumerate(zip(ld_arr, lg_arr)):
                 discrim_loss.update(float(ld))
                 gen_loss.update(float(lg))
+                if j < len(gd_arr) and np.isfinite(gd_arr[j]):
+                    gnorm_d.update(float(gd_arr[j]))
+                if j < len(gg_arr) and np.isfinite(gg_arr[j]):
+                    gnorm_g.update(float(gg_arr[j]))
                 if writer is not None:
                     sub_it = it - (len(ld_arr) - 1 - j)
                     writer.add_scalar("loss/discrim", float(ld), sub_it)
                     writer.add_scalar("loss/gen", float(lg), sub_it)
+                    if j < len(gd_arr):
+                        writer.add_scalar("grad_norm/discrim",
+                                          float(gd_arr[j]), sub_it)
+                        writer.add_scalar("grad_norm/gen",
+                                          float(gg_arr[j]), sub_it)
         pending.clear()
 
     def rss_gb():
@@ -258,10 +273,12 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
 
             if params.log_period > 0 and iteration % params.log_period < k_step:
                 drain_pending()
-                status("[%d/%d; %d/%d] - Iter %d, Loss_D: %.4f Loss_G: %.4f - "
+                gn = ("" if len(gnorm_d) == 0 else
+                      " |g|D: %.2f |g|G: %.2f" % (gnorm_d.get(), gnorm_g.get()))
+                status("[%d/%d; %d/%d] - Iter %d, Loss_D: %.4f Loss_G: %.4f%s - "
                        "%.4f sec/iter; %.4f sec/batch load" % (
                            epoch, num_epoch, i, len(dataset), iteration,
-                           discrim_loss.get(), gen_loss.get(),
+                           discrim_loss.get(), gen_loss.get(), gn,
                            avg_iter.get(), avg_data_load.get()))
 
             if params.save_example_period > 0 and (
