@@ -56,11 +56,12 @@ class TestUncondTGANv2:
 
 class TestClipGrad:
     def test_global_norm_clip_bounds_updates(self):
-        """--clip_grad chains optax.clip_by_global_norm ahead of the optimizers
-        (train/gan.py). Verified through the real train step with unit-lr SGD,
-        where the bound is directly observable: the applied G update's global
-        norm must equal min(grad_norm, clip) — i.e. <= clip when it binds —
-        and be far below the unclipped update."""
+        """--clip_grad clips inside the train step (TrainConfig.clip_grad),
+        reusing the grad-norm metric's reduction and leaving the optimizer
+        state structure unchanged. Verified through the real train step with
+        unit-lr SGD, where the bound is directly observable: the applied G
+        update's global norm must equal min(grad_norm, clip) — i.e. <= clip
+        when it binds — and be far below the unclipped update."""
         def run(clip):
             gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16,
                                        num_channels=1, fm_channels=16,
@@ -71,12 +72,10 @@ class TestClipGrad:
                                                use_pallas=False)
             gan = CondGan(gen=gen, discrims=[discrim])
             cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True,
-                              latent_size=16)
+                              latent_size=16,
+                              clip_grad=0.0 if clip is None else clip)
             optG = optax.sgd(1.0)
             optD = optax.sgd(1.0)
-            if clip is not None:
-                optG = optax.chain(optax.clip_by_global_norm(clip), optG)
-                optD = optax.chain(optax.clip_by_global_norm(clip), optD)
             batch = {"video": jnp.zeros((4, 4, 16, 16, 1))}
             state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
             step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
@@ -93,6 +92,21 @@ class TestClipGrad:
         clipped = run(clip)
         assert unclipped > 10 * clip, unclipped  # the clip genuinely binds here
         assert clipped <= clip * 1.01, (clipped, clip)
+
+    def test_nonfinite_norm_zeroes_update(self):
+        """A non-finite gradient norm must zero the update (step becomes a
+        no-op for the phase) rather than propagate NaN into the params —
+        one poisoned backward costs a step, not the run."""
+        from txt2vid_tpu.gan.train_step import _clip_by_norm
+        grads = {"w": jnp.array([jnp.inf, 1.0]), "b": jnp.array([2.0])}
+        norm = optax.global_norm(grads)           # inf
+        out = _clip_by_norm(grads, norm, 50.0)
+        assert float(jnp.abs(out["w"]).max()) == 0.0
+        assert float(jnp.abs(out["b"]).max()) == 0.0
+        # finite norm above the clip scales exactly onto the bound
+        grads = {"w": jnp.array([3.0, 4.0])}      # norm 5
+        out = _clip_by_norm(grads, optax.global_norm(grads), 1.0)
+        assert abs(float(optax.global_norm(out)) - 1.0) < 1e-6
 
 
 class TestCondTCWYT:

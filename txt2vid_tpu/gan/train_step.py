@@ -60,6 +60,15 @@ class TrainConfig:
     mean_gen_loss: bool = False
     img_model: bool = False
     latent_size: int = 256
+    # Global gradient-norm clip applied INSIDE the step, reusing the grad_norm
+    # metric's reduction (0 = off). Deliberately NOT an optax.chain wrapper:
+    # in-step clipping leaves the optimizer state structure unchanged (so
+    # clipped and unclipped runs share checkpoints) and costs one global-norm
+    # reduction per phase instead of two. A non-finite norm (Inf/NaN blow-up)
+    # zeroes the phase's update entirely — the step degrades to a no-op
+    # instead of poisoning the parameters (the failure mode of the 3-scale
+    # cond-128 arm, RESULTS.md round 3).
+    clip_grad: float = 0.0
     # Compute the generator forward ONCE per step via jax.vjp and reuse it for both
     # phases. The step already draws the SAME z for the D-phase fakes and the
     # G-phase re-generation (reference trainer.py:251-256), so outside end2end the
@@ -87,6 +96,18 @@ def _merge_vars(variables, params):
     out = dict(variables)
     out["params"] = params
     return out
+
+
+def _clip_by_norm(grads, norm, clip):
+    """Scale grads so the global norm is <= clip, reusing the metric's
+    already-computed norm. A non-finite norm zeroes the update: one poisoned
+    backward then costs a step, not the run (see TrainConfig.clip_grad)."""
+    finite = jnp.isfinite(norm)
+    scale = jnp.where(finite,
+                      jnp.minimum(1.0, clip / jnp.maximum(norm, 1e-20)), 0.0)
+    # zero via select, not multiplication: inf * 0.0 = nan
+    return jax.tree.map(
+        lambda g: jnp.where(finite, g * scale, jnp.zeros_like(g)), grads)
 
 
 def init_state(gan: CondGan, key, sample_batch, optG, optD, config: TrainConfig):
@@ -291,10 +312,12 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                     (d_opt_params, dkey))
             else:
                 loss_d, grads = jax.value_and_grad(d_loss_fn)(d_opt_params, dkey)
+            d_grad_norm = optax.global_norm(grads)
+            if config.clip_grad:
+                grads = _clip_by_norm(grads, d_grad_norm, config.clip_grad)
             updates, opt_d_state = optD.update(grads, opt_d_state, d_opt_params)
             d_opt_params = optax.apply_updates(d_opt_params, updates)
             total_d_loss = total_d_loss + loss_d
-            d_grad_norm = optax.global_norm(grads)
 
         new_d_vars = tuple(
             _merge_vars(v, p) for v, p in zip(state.d_vars, d_opt_params["d"]))
@@ -369,6 +392,8 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
             (g_param_grads,) = vjp_fake(dfakes)
             grads = {"g": g_param_grads}
             g_grad_norm = optax.global_norm(grads)
+            if config.clip_grad:
+                grads = _clip_by_norm(grads, g_grad_norm, config.clip_grad)
             updates, opt_g_state = optG.update(grads, opt_g_state, g_opt_params)
             g_opt_params = optax.apply_updates(g_opt_params, updates)
             total_g_loss = loss_g
@@ -379,11 +404,13 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                 gkey = k_gen if j == 0 else jax.random.fold_in(k_g, j)
                 (loss_g, new_stats), grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(g_opt_params, gkey)
+                g_grad_norm = optax.global_norm(grads)
+                if config.clip_grad:
+                    grads = _clip_by_norm(grads, g_grad_norm, config.clip_grad)
                 updates, opt_g_state = optG.update(grads, opt_g_state,
                                                    g_opt_params)
                 g_opt_params = optax.apply_updates(g_opt_params, updates)
                 total_g_loss = total_g_loss + loss_g
-                g_grad_norm = optax.global_norm(grads)
                 if new_stats:
                     g_stats = new_stats["batch_stats"]
 

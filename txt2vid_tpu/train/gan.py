@@ -92,12 +92,15 @@ def main(args):
                               mu_dtype=mu_dtype)
     if args.clip_grad:
         # global-norm gradient clipping (standard GAN stabilizer; no reference
-        # counterpart — its runs rode out or died on loss spikes). Applied to
-        # both phases; the large-spike case this guards is documented in
-        # RESULTS.md (3-scale cond-128 NaN forensics).
+        # counterpart — its runs rode out or died on loss spikes). Applied
+        # inside the train step (TrainConfig.clip_grad) rather than as an
+        # optax.chain wrapper: the opt-state structure stays identical to an
+        # unclipped run (checkpoint-compatible both ways), the grad-norm
+        # metric's reduction is reused, and a non-finite backward zeroes the
+        # phase's update instead of poisoning the params. The chain form also
+        # produced step-1 NaNs on the TPU at the 3-scale cond-128 shape that
+        # the in-step form does not (RESULTS.md round 3 forensics).
         status(f"Clipping gradients to global norm {args.clip_grad}")
-        optD = optax.chain(optax.clip_by_global_norm(args.clip_grad), optD)
-        optG = optax.chain(optax.clip_by_global_norm(args.clip_grad), optG)
 
     status(f"Loading data from {args.data}")
     dset = create_object(args.data, vocab=vocab, anno=args.anno,
@@ -138,6 +141,7 @@ def main(args):
         img_model=args.img_model,
         latent_size=gan.gen.latent_size,
         shared_gen_fwd=args.shared_gen_fwd,
+        clip_grad=args.clip_grad or 0.0,
     )
 
     # initialize from a representative batch
