@@ -110,6 +110,36 @@ def _clip_by_norm(grads, norm, clip):
         lambda g: jnp.where(finite, g * scale, jnp.zeros_like(g)), grads)
 
 
+def _norm_and_clip(grads, clip):
+    """Global grad norm (the |g| metric) plus optional in-step clipping.
+
+    The optimization barrier is load-bearing, not hygiene: on the TPU backend
+    the 3-scale cond-128 flagship's D backward compiles to NaN gradients when
+    the clip's scale-and-select ops are fused into the same program, while the
+    clip-free program computes finite gradients from identical inputs
+    (measured iter-for-iter: scripts/probe_gnorm_tpu.py, RESULTS.md round 3 —
+    the queue-14 "chain-clip NaN at iter 1" and the queue-16 silently-frozen
+    discriminator were both this). Forcing the gradients to materialize before
+    the clip math keeps the backward byte-identical to the unclipped program,
+    which is exactly the numerics the clip is supposed to preserve.
+
+    LIMIT OF THE FIX (queue-17 gate + bisect-18, RESULTS.md round 3): the
+    barrier recovers finite gradients in the standalone flagship probe, but
+    the full trainer-compiled program (device-resident data + deferred
+    metrics) STILL compiles the D backward to NaN at that one shape with any
+    clip formulation, while its clip-free compile is finite iter-for-iter.
+    Flagship production therefore runs clip-free and relies on the host-side
+    spike protection instead (trainer.NanAbort: poisoned states are never
+    checkpointed, the harness rolls back and reseeds — scripts/r3_queue18.sh).
+    --clip_grad remains correct and tested on every other shape and backend."""
+    if clip:
+        grads = jax.lax.optimization_barrier(grads)
+    norm = optax.global_norm(grads)
+    if clip:
+        grads = _clip_by_norm(grads, norm, clip)
+    return grads, norm
+
+
 def init_state(gan: CondGan, key, sample_batch, optG, optD, config: TrainConfig):
     """Initialize all variables and optimizer states from a representative batch.
     The whole initialization runs under ONE jit — unjitted flax init dispatches each
@@ -312,9 +342,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                     (d_opt_params, dkey))
             else:
                 loss_d, grads = jax.value_and_grad(d_loss_fn)(d_opt_params, dkey)
-            d_grad_norm = optax.global_norm(grads)
-            if config.clip_grad:
-                grads = _clip_by_norm(grads, d_grad_norm, config.clip_grad)
+            grads, d_grad_norm = _norm_and_clip(grads, config.clip_grad)
             updates, opt_d_state = optD.update(grads, opt_d_state, d_opt_params)
             d_opt_params = optax.apply_updates(d_opt_params, updates)
             total_d_loss = total_d_loss + loss_d
@@ -391,9 +419,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                 fake_scales_live)
             (g_param_grads,) = vjp_fake(dfakes)
             grads = {"g": g_param_grads}
-            g_grad_norm = optax.global_norm(grads)
-            if config.clip_grad:
-                grads = _clip_by_norm(grads, g_grad_norm, config.clip_grad)
+            grads, g_grad_norm = _norm_and_clip(grads, config.clip_grad)
             updates, opt_g_state = optG.update(grads, opt_g_state, g_opt_params)
             g_opt_params = optax.apply_updates(g_opt_params, updates)
             total_g_loss = loss_g
@@ -404,9 +430,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                 gkey = k_gen if j == 0 else jax.random.fold_in(k_g, j)
                 (loss_g, new_stats), grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(g_opt_params, gkey)
-                g_grad_norm = optax.global_norm(grads)
-                if config.clip_grad:
-                    grads = _clip_by_norm(grads, g_grad_norm, config.clip_grad)
+                grads, g_grad_norm = _norm_and_clip(grads, config.clip_grad)
                 updates, opt_g_state = optG.update(grads, opt_g_state,
                                                    g_opt_params)
                 g_opt_params = optax.apply_updates(g_opt_params, updates)

@@ -16,6 +16,25 @@ from txt2vid_tpu.utils import RollingAvg, Stopwatch, status, ensure_exists
 from txt2vid_tpu.utils.checkpoint import checkpoint_name, save_state, AsyncCheckpointer
 
 
+class NanAbort(RuntimeError):
+    """Raised by train() when fetched metrics show the run is poisoned or a
+    phase is frozen: a non-finite loss (params already NaN — nothing after it
+    is useful work), a non-finite grad norm with no clip guard (the update
+    that poisoned the params), or a long unbroken streak of non-finite grad
+    norms under --clip_grad (the guard is zeroing EVERY update, i.e. that
+    phase is silently frozen — the queue-16 failure mode, RESULTS.md round 3).
+
+    Detection happens in the metric drain, which runs before every periodic
+    checkpoint save, so a poisoned state is never written: the latest
+    checkpoint on disk is always from before the event, and the relaunch
+    harness can resume from it with a fresh seed (scripts/r3_queue18.sh)."""
+
+    def __init__(self, iteration: int, what: str):
+        self.iteration = iteration
+        self.what = what
+        super().__init__(f"non-finite {what} at iteration {iteration}")
+
+
 def add_params_to_parser(parser: argparse.ArgumentParser):
     """Engine flags (reference trainer.py:15-42 surface)."""
     parser.add_argument('--data_is_imgs', action='store_true', default=False)
@@ -50,6 +69,15 @@ def add_params_to_parser(parser: argparse.ArgumentParser):
                              'retains every H2D byte on the host (RESULTS.md r3), '
                              'so streaming-input runs grow without bound; '
                              '0 disables')
+    parser.add_argument('--no_nan_abort', dest='nan_abort',
+                        action='store_false', default=True,
+                        help='disable aborting (exit 42) when fetched metrics '
+                             'show a poisoned run: non-finite loss, unclipped '
+                             'non-finite grad norm, or a frozen clipped phase')
+    parser.add_argument('--nan_abort_streak', type=int, default=100,
+                        help='with --clip_grad, abort after this many '
+                             'CONSECUTIVE non-finite grad norms in one phase '
+                             '(the guard zeroing every update = frozen phase)')
     return parser
 
 
@@ -171,6 +199,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     discrim_loss = RollingAvg(params.loss_window_size)
     gnorm_d = RollingAvg(params.loss_window_size)
     gnorm_g = RollingAvg(params.loss_window_size)
+    nonfinite_gnorm = {"d": 0, "g": 0}  # run totals, surfaced in the status line
     avg_data_load = RollingAvg(params.log_period)
     avg_iter = RollingAvg(params.log_period)
     data_watch, iter_watch = Stopwatch(), Stopwatch()
@@ -189,6 +218,22 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     # was hidden by CUDA's cheap D2H path).
     pending = []  # (iteration, device_metrics)
 
+    nan_abort = getattr(params, "nan_abort", True)
+    clip_on = bool(getattr(params, "clip_grad", 0) or 0)
+    abort_streak = getattr(params, "nan_abort_streak", 100) or 0
+    gnorm_streak = {"d": 0, "g": 0}  # CONSECUTIVE non-finite fetches per phase
+
+    def _abort(sub_it, what):
+        # drain_pending runs before every periodic checkpoint save, so the
+        # poisoned state is never on disk; flush the healthy async saves that
+        # are already in flight, then unwind (train/gan.py exits 42 so the
+        # relaunch harness can resume from the last good checkpoint)
+        status(f"NAN_ABORT: non-finite {what} at iteration {sub_it}")
+        checkpointer.wait()
+        if writer is not None:
+            writer.close()
+        raise NanAbort(sub_it, what)
+
     def drain_pending():
         if not pending:
             return
@@ -200,19 +245,52 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             # order; it is the iteration of the LAST step in the chunk
             ld_arr = np.atleast_1d(np.asarray(m["loss_d"], np.float64))
             lg_arr = np.atleast_1d(np.asarray(m["loss_g"], np.float64))
+            has_gd, has_gg = "grad_norm_d" in m, "grad_norm_g" in m
             gd_arr = np.atleast_1d(np.asarray(
                 m.get("grad_norm_d", np.nan), np.float64))
             gg_arr = np.atleast_1d(np.asarray(
                 m.get("grad_norm_g", np.nan), np.float64))
             for j, (ld, lg) in enumerate(zip(ld_arr, lg_arr)):
+                sub_it = it - (len(ld_arr) - 1 - j)
                 discrim_loss.update(float(ld))
                 gen_loss.update(float(lg))
-                if j < len(gd_arr) and np.isfinite(gd_arr[j]):
-                    gnorm_d.update(float(gd_arr[j]))
-                if j < len(gg_arr) and np.isfinite(gg_arr[j]):
-                    gnorm_g.update(float(gg_arr[j]))
+                if nan_abort and not (np.isfinite(ld) and np.isfinite(lg)):
+                    _abort(sub_it, "loss (params are poisoned)")
+                if has_gd and j < len(gd_arr):
+                    if np.isfinite(gd_arr[j]):
+                        gnorm_d.update(float(gd_arr[j]))
+                        gnorm_streak["d"] = 0
+                    else:
+                        nonfinite_gnorm["d"] += 1
+                        gnorm_streak["d"] += 1
+                        if nan_abort and not clip_on:
+                            _abort(sub_it, "discriminator grad norm with no "
+                                           "--clip_grad guard (the update "
+                                           "poisons the params)")
+                        if (nan_abort and abort_streak
+                                and gnorm_streak["d"] >= abort_streak):
+                            _abort(sub_it, "discriminator grad norm %d times "
+                                   "consecutively — the clip guard is zeroing "
+                                   "every D update (frozen phase)"
+                                   % gnorm_streak["d"])
+                if has_gg and j < len(gg_arr):
+                    if np.isfinite(gg_arr[j]):
+                        gnorm_g.update(float(gg_arr[j]))
+                        gnorm_streak["g"] = 0
+                    else:
+                        nonfinite_gnorm["g"] += 1
+                        gnorm_streak["g"] += 1
+                        if nan_abort and not clip_on:
+                            _abort(sub_it, "generator grad norm with no "
+                                           "--clip_grad guard (the update "
+                                           "poisons the params)")
+                        if (nan_abort and abort_streak
+                                and gnorm_streak["g"] >= abort_streak):
+                            _abort(sub_it, "generator grad norm %d times "
+                                   "consecutively — the clip guard is zeroing "
+                                   "every G update (frozen phase)"
+                                   % gnorm_streak["g"])
                 if writer is not None:
-                    sub_it = it - (len(ld_arr) - 1 - j)
                     writer.add_scalar("loss/discrim", float(ld), sub_it)
                     writer.add_scalar("loss/gen", float(lg), sub_it)
                     if j < len(gd_arr):
@@ -273,8 +351,22 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
 
             if params.log_period > 0 and iteration % params.log_period < k_step:
                 drain_pending()
-                gn = ("" if len(gnorm_d) == 0 else
-                      " |g|D: %.2f |g|G: %.2f" % (gnorm_d.get(), gnorm_g.get()))
+                # a non-finite norm means that phase's update was ZEROED by
+                # --clip_grad (or would have poisoned the params without it) —
+                # say so loudly instead of omitting the |g| chunk: a frozen
+                # phase must not look like a pre-metrics log format (the
+                # queue-16 frozen-discriminator run hid exactly this way,
+                # RESULTS.md round 3)
+                def _gfmt(name, avg, bad):
+                    if len(avg) == 0 and bad == 0:
+                        return ""
+                    s = " |g|%s: %s" % (name,
+                                        "%.2f" % avg.get() if len(avg) else "-")
+                    if bad:
+                        s += " (%d non-finite!)" % bad
+                    return s
+                gn = (_gfmt("D", gnorm_d, nonfinite_gnorm["d"])
+                      + _gfmt("G", gnorm_g, nonfinite_gnorm["g"]))
                 status("[%d/%d; %d/%d] - Iter %d, Loss_D: %.4f Loss_G: %.4f%s - "
                        "%.4f sec/iter; %.4f sec/batch load" % (
                            epoch, num_epoch, i, len(dataset), iteration,

@@ -258,9 +258,18 @@ def main(args):
         # base key placed on the mesh ONCE; the compiled step folds in its own
         # step counter, so the hot loop does no per-iteration key work at all
         base_key = jax.device_put(jax.random.key(seed), replicated(mesh))
-        trainer.train(gan=gan, state=state, train_step=jitted,
-                      num_epoch=args.epochs, dataset=LoaderAdapter(), params=args,
-                      vocab=vocab, seed=seed, base_key=base_key)
+        try:
+            trainer.train(gan=gan, state=state, train_step=jitted,
+                          num_epoch=args.epochs, dataset=LoaderAdapter(),
+                          params=args, vocab=vocab, seed=seed, base_key=base_key)
+        except trainer.NanAbort as e:
+            # distinguishable exit for relaunch harnesses: the last checkpoint
+            # on disk predates the event (poisoned states are never saved), so
+            # `--resume --seed <new>` rolls back and diverges from the replay
+            status(f"NAN_ABORT: {e} — exiting 42 (resume from the last "
+                   f"checkpoint with a fresh --seed)")
+            import sys
+            sys.exit(42)
 
 
 def build_parser():
