@@ -53,6 +53,15 @@ DATA='{"class": "txt2vid_tpu.data.packed.packed_dataset", "args": {"data": "synt
 # ---- production arm: clip-free + NaN-abort rollback, full remaining budget ----
 # No pre-probe: bisect-18 Arm A IS the probe (same CLI, same config, clip 0,
 # 250 iters finite on this host's chip an hour ago).
+#
+# TTUR (D_lr 1e-4, G_lr 2e-4): the first launch at D_lr 2e-4 hit three
+# consecutive D-grad-spike NaN aborts before the first checkpoint (iters 723,
+# 1156, 407 on seeds 41/42/43 — |g|D spiking 300..1800 then loss NaN), i.e.
+# the 3-scale arm's 32px-base discriminator is spike-unstable at the 4-scale
+# arm's lr with clipping unavailable (the shape's clip miscompile,
+# RESULTS.md). Every spike was in |g|D, never |g|G, and the uncond-128
+# lr-1e-4 branch was the stable one — so halve the D lr only. Checkpoints
+# every 1000 iters bound the rollback loss if a spike still lands.
 REMAIN=$(( ROUND_END - $(date +%s) - 4800 ))
 [ "$REMAIN" -lt 600 ] && { echo "no budget left for production"; exit 3; }
 DEADLINE=$(( $(date +%s) + REMAIN ))
@@ -73,9 +82,9 @@ for attempt in 1 2 3 4 5 6 7 8 9 10; do
       --vocab synthetic_big/vocab.pickle \
       --frame_sizes 32 64 128 --subsample_input --num_channels 1 \
       --D_loss txt2vid_tpu.gan.losses.RSGANLoss --gp_lambda 1.0 \
-      --G_lr 0.0002 --D_lr 0.0002 --G_beta2 0.999 --D_beta2 0.999 \
+      --G_lr 0.0002 --D_lr 0.0001 --G_beta2 0.999 --D_beta2 0.999 \
       --batch_size 32 --epochs 160 --seed "$SEED" --resume \
-      --log_period 50 --save_model_period 2000 --save_example_period 2000 \
+      --log_period 50 --save_model_period 1000 --save_example_period 2000 \
       --sample_batch_size 8 $DEVFLAG \
       --out out/r3_cond128_q18 --out_samples out/r3_cond128_q18/samples
   RC=$?
