@@ -202,6 +202,54 @@ def jit_device_data_step(train_step, data: DeviceVideoData, mesh,
     return run
 
 
+def jit_device_data_split(d_grad_step, clip_step, apply_step,
+                          data: DeviceVideoData, mesh, batch_size: int,
+                          axis_name: str = "dp", state_shardings=None):
+    """Split-dispatch (--clip_grad_split) composition of jit_device_data_step:
+    the D-grad and apply programs EACH assemble the same batch on device from
+    the resident dataset (the assembly key is derived from (key, state.step),
+    so the two programs draw identical batches — a cheap gather per program
+    beats carrying a batch-sized tensor across the dispatch boundary)."""
+    import jax
+
+    from txt2vid_tpu.parallel.mesh import _donate, batch_sharding, replicated
+
+    assert state_shardings is None, \
+        "--clip_grad_split with fsdp state shardings is not supported"
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh, axis_name)
+    arrays = data.device_arrays(mesh)
+
+    def assemble(state, arrays, key):
+        bkey = jax.random.fold_in(jax.random.fold_in(key, state.step), 0xda7a)
+        batch = data.assemble(arrays, bkey, batch_size)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, bs), batch)
+
+    def grad_prog(state, arrays, key):
+        return d_grad_step(state, assemble(state, arrays, key), key)
+
+    def apply_prog(state, arrays, key, grads, norm, loss_d):
+        return apply_step(state, assemble(state, arrays, key), key,
+                          grads, norm, loss_d)
+
+    jit_grad = jax.jit(grad_prog, in_shardings=(rep, rep, rep),
+                       out_shardings=rep)
+    jit_clip = jax.jit(clip_step, donate_argnums=(0,))
+    jit_apply = jax.jit(apply_prog,
+                        in_shardings=(rep, rep, rep, rep, rep, rep),
+                        out_shardings=(rep, rep),
+                        donate_argnums=_donate() + (
+                            (3,) if not jax.config.jax_debug_nans else ()))
+
+    def run(state, _host_batch_ignored, key):
+        grads, loss_d = jit_grad(state, arrays, key)
+        grads, norm = jit_clip(grads)
+        return jit_apply(state, arrays, key, grads, norm, loss_d)
+
+    return run
+
+
 class DeviceEpochIterator:
     """Trainer-facing dataset adapter for device-data mode: yields HOST batches
     (numpy views, never device_put) that the trainer only uses for the

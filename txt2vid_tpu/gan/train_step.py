@@ -461,3 +461,260 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         return new_state, metrics
 
     return train_step
+
+
+def build_split_train_step(gan: CondGan, losses, optG, optD,
+                           config: TrainConfig):
+    """Split-dispatch clipping: the D backward and the clip math compiled into
+    SEPARATE XLA programs (`--clip_grad_split`).
+
+    Why this exists (RESULTS.md round 3, queues 14-18): at the 3-scale
+    cond-128 flagship shape (batch 32) the TPU backend compiles the D backward
+    to NaN gradients whenever ANY clip formulation — optax chain, in-step
+    select, barrier+select — sits in the same program, while the identical
+    backward WITHOUT clip ops is finite iter-for-iter. Clipping is exactly the
+    spike protection that shape needs (three seed-independent |g|D spike NaNs
+    in one evening), so this builder moves the clip out of the program instead
+    of out of the run:
+
+      1. d_grad_step(state, batch, key) -> (d_grads, loss_d) — the fused
+         step's preamble + D backward, with NO clip ops anywhere in the
+         program (the trigger is their fusion into this backward).
+      2. clip_step(d_grads) -> (clipped, norm) — optax.global_norm + the same
+         scale/select as _clip_by_norm, in a tiny program of its own.
+      3. apply_step(state, batch, key, d_grads, d_grad_norm, loss_d)
+         -> (state, metrics) — D optimizer update from the provided grads,
+         then the full G phase (whose own backward never miscompiled; its
+         clip stays in-program).
+
+    Nothing large crosses the boundary: programs 1 and 3 re-derive
+    z/cond/pyramid/fakes from the same (key, state.step) fold-in, so the only
+    carried tensors are the D grads themselves (params-sized, one HBM
+    round-trip ≈ single-digit ms against the ~670 ms flagship step). Cost vs
+    the fused step: one extra generator forward (program 3 cannot reuse
+    program 1's — jax.vjp residuals are not arrays), i.e. the shared_gen_fwd
+    saving is paid back; ~8% at the bench shape. Use this only where the
+    fused clip program miscompiles.
+
+    Numerics are pinned equal to the fused in-step clip by
+    tests/test_split_clip.py. Constraints: discrim_steps == 1 (the D
+    grad->update->grad interleave cannot straddle programs).
+    """
+    assert config.discrim_steps == 1, \
+        "--clip_grad_split requires discrim_steps == 1"
+
+    def scales_for(x, cond, key):
+        if config.img_model or len(config.frame_sizes) == 1:
+            return [x], (None if cond is None else [cond])
+        return multiscale_pyramid(x, cond, list(config.frame_sizes), key,
+                                  config.subsample_input)
+
+    def prelude(state, batch, key):
+        """The fused step's deterministic preamble (keys, z, frozen cond, real
+        pyramid) — run identically in programs 1 and 3 instead of shipping its
+        outputs across the dispatch boundary."""
+        key = jax.random.fold_in(key, state.step)
+        x = batch["video"]
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 127.5 - 1.0
+        b = x.shape[0]
+        k_z, k_pyr, k_gen, k_d, k_g = jax.random.split(key, 5)
+        has_cond = (gan.cond_encoder is not None
+                    and batch.get("captions") is not None)
+        z = jax.random.normal(k_z, (b, config.latent_size))
+        cond_const = None
+        if has_cond:
+            cond_const = jax.lax.stop_gradient(
+                gan.encode(state.txt_vars, batch["captions"],
+                           batch["lengths"]))
+        real_scales, cond_scales = scales_for(x, cond_const, k_pyr)
+        return dict(x=x, z=z, has_cond=has_cond, cond_const=cond_const,
+                    real_scales=real_scales, cond_scales=cond_scales,
+                    k_pyr=k_pyr, k_gen=k_gen, k_d=k_d, k_g=k_g)
+
+    def d_opt_params_of(state):
+        p = {"d": tuple(v["params"] for v in state.d_vars)}
+        if config.end2end and state.txt_vars is not None:
+            p["txt"] = state.txt_vars["params"]
+        return p
+
+    # ------------------------------------------------- program 1: D backward
+    def d_grad_step(state, batch, key):
+        p = prelude(state, batch, key)
+        fake_scales = jax.lax.stop_gradient(
+            gan.generate(state.g_vars, p["z"], cond=p["cond_const"],
+                         key=p["k_gen"], train=True))
+        d_opt_params = d_opt_params_of(state)
+
+        def make_d_loss(gp_lambda):
+            def d_loss_fn(opt_params, dkey):
+                d_vars_list = [_merge_vars(v, q)
+                               for v, q in zip(state.d_vars, opt_params["d"])]
+                if config.end2end and p["has_cond"]:
+                    cond = gan.encode(
+                        _merge_vars(state.txt_vars, opt_params["txt"]),
+                        batch["captions"], batch["lengths"])
+                    real_scales, cond_scales = scales_for(
+                        p["x"], cond, p["k_pyr"])
+                else:
+                    real_scales, cond_scales = p["real_scales"], p["cond_scales"]
+                ls, _, _ = gan.all_discrim_forward(
+                    d_vars_list, real_scales=real_scales,
+                    fake_scales=fake_scales, cond_scales=cond_scales,
+                    loss=losses, gp_lambda=gp_lambda, key=dkey,
+                    m_vars=state.m_vars, train=True)
+                total = gan.weighted_sum(ls)
+                if config.mean_discrim_loss:
+                    total = total / config.discrim_steps
+                return total
+            return d_loss_fn
+
+        dkey = jax.random.fold_in(p["k_d"], 0)
+        if config.gp_lambda > 0 and config.gp_every > 1:
+            do_gp = (state.step % config.gp_every) == 0
+            loss_d, grads = jax.lax.cond(
+                do_gp,
+                lambda a: jax.value_and_grad(
+                    make_d_loss(config.gp_lambda * config.gp_every))(*a),
+                lambda a: jax.value_and_grad(make_d_loss(-1.0))(*a),
+                (d_opt_params, dkey))
+        else:
+            loss_d, grads = jax.value_and_grad(
+                make_d_loss(config.gp_lambda))(d_opt_params, dkey)
+        return grads, loss_d
+
+    # ---------------------------------------------------- program 2: clip
+    def clip_step(grads):
+        norm = optax.global_norm(grads)
+        if config.clip_grad:
+            grads = _clip_by_norm(grads, norm, config.clip_grad)
+        return grads, norm
+
+    # ------------------------------------- program 3: updates + G phase
+    def apply_step(state, batch, key, d_grads, d_grad_norm, loss_d):
+        p = prelude(state, batch, key)
+        z, k_gen, k_g = p["z"], p["k_gen"], p["k_g"]
+        has_cond, cond_scales_g = p["has_cond"], p["cond_scales"]
+
+        d_opt_params = d_opt_params_of(state)
+        updates, opt_d_state = optD.update(d_grads, state.opt_d_state,
+                                           d_opt_params)
+        d_opt_params = optax.apply_updates(d_opt_params, updates)
+        new_d_vars = tuple(_merge_vars(v, q)
+                           for v, q in zip(state.d_vars, d_opt_params["d"]))
+        txt_params = d_opt_params.get(
+            "txt", None if state.txt_vars is None else state.txt_vars["params"])
+
+        # G phase — same structure as the fused step's (end2end re-encode,
+        # shared single-vjp forward when eligible, multi-gen_steps loop
+        # otherwise); see build_train_step for the line-by-line rationale.
+        txt_grads_in_g = (config.end2end and config.end2end_txt_in_g
+                          and has_cond)
+        g_opt_params = {"g": state.g_vars["params"]}
+        if txt_grads_in_g and state.txt_vars is not None:
+            g_opt_params["txt"] = txt_params
+
+        shared = (config.shared_gen_fwd and config.gen_steps == 1
+                  and not (config.end2end and has_cond))
+        real_preds_const = None
+        if not txt_grads_in_g:
+            if config.end2end and has_cond:
+                cond_g = jax.lax.stop_gradient(gan.encode(
+                    _merge_vars(state.txt_vars, txt_params),
+                    batch["captions"], batch["lengths"]))
+                real_scales_g, cond_scales_g = scales_for(
+                    p["x"], cond_g, p["k_pyr"])
+            else:
+                real_scales_g = p["real_scales"]
+            real_preds_const = jax.lax.stop_gradient(gan.all_discrim_forward(
+                new_d_vars, real_scales=real_scales_g,
+                cond_scales=cond_scales_g, loss=None, key=None,
+                m_vars=state.m_vars, train=True)[2])
+
+        def g_loss_fn(opt_params, gkey):
+            g_vars = _merge_vars(state.g_vars, opt_params["g"])
+            if txt_grads_in_g:
+                cond = gan.encode(
+                    _merge_vars(state.txt_vars, opt_params["txt"]),
+                    batch["captions"], batch["lengths"])
+                real_scales, cond_scales = scales_for(p["x"], cond, p["k_pyr"])
+                real_preds = gan.all_discrim_forward(
+                    new_d_vars, real_scales=real_scales,
+                    cond_scales=cond_scales, loss=None, key=None,
+                    m_vars=state.m_vars, train=True)[2]
+                gen_cond = cond_scales[0] if cond_scales is not None else None
+            else:
+                real_preds = real_preds_const
+                cond_scales = cond_scales_g
+                gen_cond = cond_scales[0] if cond_scales is not None else None
+            fakes, g_stats = gan.generate(g_vars, z, cond=gen_cond, key=gkey,
+                                          train=True, with_stats=True)
+            total = gan.gen_loss(new_d_vars, fakes, real_preds,
+                                 cond_scales=cond_scales, loss=losses,
+                                 m_vars=state.m_vars, train=True)
+            if config.mean_gen_loss:
+                total = total / config.gen_steps
+            return total, g_stats
+
+        opt_g_state = state.opt_g_state
+        total_g_loss = 0.0
+        g_grad_norm = jnp.zeros((), jnp.float32)
+        g_stats = state.g_vars.get("batch_stats")
+        if shared:
+            def gen_fwd(g_params):
+                return gan.generate(_merge_vars(state.g_vars, g_params), z,
+                                    cond=p["cond_const"], key=k_gen,
+                                    train=True, with_stats=True)
+            fake_scales_live, vjp_fake, shared_stats = jax.vjp(
+                gen_fwd, state.g_vars["params"], has_aux=True)
+
+            def g_loss_from_fakes(fakes):
+                total = gan.gen_loss(new_d_vars, fakes, real_preds_const,
+                                     cond_scales=cond_scales_g, loss=losses,
+                                     m_vars=state.m_vars, train=True)
+                if config.mean_gen_loss:
+                    total = total / config.gen_steps
+                return total
+
+            loss_g, dfakes = jax.value_and_grad(g_loss_from_fakes)(
+                fake_scales_live)
+            (g_param_grads,) = vjp_fake(dfakes)
+            grads = {"g": g_param_grads}
+            grads, g_grad_norm = _norm_and_clip(grads, config.clip_grad)
+            updates, opt_g_state = optG.update(grads, opt_g_state,
+                                               g_opt_params)
+            g_opt_params = optax.apply_updates(g_opt_params, updates)
+            total_g_loss = loss_g
+            if shared_stats:
+                g_stats = shared_stats["batch_stats"]
+        else:
+            for j in range(config.gen_steps):
+                gkey = k_gen if j == 0 else jax.random.fold_in(k_g, j)
+                (loss_g, new_stats), grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(g_opt_params, gkey)
+                grads, g_grad_norm = _norm_and_clip(grads, config.clip_grad)
+                updates, opt_g_state = optG.update(grads, opt_g_state,
+                                                   g_opt_params)
+                g_opt_params = optax.apply_updates(g_opt_params, updates)
+                total_g_loss = total_g_loss + loss_g
+                if new_stats:
+                    g_stats = new_stats["batch_stats"]
+
+        new_g_vars = _merge_vars(state.g_vars, g_opt_params["g"])
+        if g_stats is not None:
+            new_g_vars["batch_stats"] = g_stats
+
+        new_txt_vars = state.txt_vars
+        if config.end2end and state.txt_vars is not None:
+            new_txt_vars = _merge_vars(state.txt_vars,
+                                       g_opt_params.get("txt", txt_params))
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_vars=new_g_vars, d_vars=new_d_vars, txt_vars=new_txt_vars,
+            opt_g_state=opt_g_state, opt_d_state=opt_d_state)
+        metrics = {"loss_d": loss_d, "loss_g": total_g_loss,
+                   "grad_norm_d": d_grad_norm, "grad_norm_g": g_grad_norm}
+        return new_state, metrics
+
+    return d_grad_step, clip_step, apply_step

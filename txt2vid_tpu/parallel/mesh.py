@@ -208,3 +208,34 @@ def _donate():
     (deleted) buffers would make the replay raise instead of pinpointing the
     op. Keep the state alive when the debugger is on."""
     return () if jax.config.jax_debug_nans else (0,)
+
+
+def jit_split_train_step_sharded(d_grad_step, clip_step, apply_step, mesh: Mesh,
+                                 axis_name: str = "dp", state_shardings=None):
+    """jit the three split-dispatch programs (train_step.build_split_train_step)
+    and compose them into the trainer's (state, batch, key) -> (state, metrics)
+    signature. The D grads stay on device between dispatches (replicated — the
+    backward's XLA-inserted psum already reduced them over dp); only apply_step
+    donates the state (d_grad_step must leave it alive for apply_step), and the
+    grads are donated forward through the clip into the optimizer update.
+    Requires replicated (non-fsdp) state: the carried grads pytree would need
+    per-leaf shardings matching the fsdp param layout."""
+    assert state_shardings is None, \
+        "--clip_grad_split with fsdp state shardings is not supported"
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh, axis_name)
+    jit_grad = jax.jit(d_grad_step, in_shardings=(rep, bs, rep),
+                       out_shardings=rep)
+    jit_clip = jax.jit(clip_step, donate_argnums=(0,))
+    jit_apply = jax.jit(apply_step, in_shardings=(rep, bs, rep, rep, rep, rep),
+                        out_shardings=(rep, rep),
+                        donate_argnums=_donate() + ((3,) if not
+                                                    jax.config.jax_debug_nans
+                                                    else ()))
+
+    def run(state, batch, key):
+        grads, loss_d = jit_grad(state, batch, key)
+        grads, norm = jit_clip(grads)
+        return jit_apply(state, batch, key, grads, norm, loss_d)
+
+    return run

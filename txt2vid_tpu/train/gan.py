@@ -194,12 +194,29 @@ def main(args):
     else:
         import contextlib
         sp_ctx = contextlib.nullcontext
-    step_fn = build_train_step(gan, losses, optG, optD, config)
     k_disp = max(args.steps_per_dispatch, 1)
-    if ddata is not None:
+    if args.clip_grad_split:
+        # split-dispatch clipping (train_step.build_split_train_step): the D
+        # backward, the clip math, and the update+G phase compile as three
+        # separate programs — the workaround for the TPU shape where any
+        # fused clip formulation miscompiles the D backward (RESULTS.md r3)
+        assert k_disp == 1, "--clip_grad_split requires --steps_per_dispatch 1"
+        from txt2vid_tpu.gan.train_step import build_split_train_step
+        split_fns = build_split_train_step(gan, losses, optG, optD, config)
+        if ddata is not None:
+            from txt2vid_tpu.data.device_cache import jit_device_data_split
+            jitted_raw = jit_device_data_split(
+                *split_fns, ddata, mesh, args.batch_size,
+                state_shardings=state_shardings)
+        else:
+            from txt2vid_tpu.parallel.mesh import jit_split_train_step_sharded
+            jitted_raw = jit_split_train_step_sharded(
+                *split_fns, mesh, state_shardings=state_shardings)
+    elif ddata is not None:
         assert k_disp == 1, "--device_data implies --steps_per_dispatch 1 " \
             "(per-step dispatch cost is already zero host work)"
         from txt2vid_tpu.data.device_cache import jit_device_data_step
+        step_fn = build_train_step(gan, losses, optG, optD, config)
         jitted_raw = jit_device_data_step(step_fn, ddata, mesh, args.batch_size,
                                           state_shardings=state_shardings)
     elif k_disp > 1:
@@ -211,9 +228,11 @@ def main(args):
                      f"chunk-end iteration after the boundary (e.g. period "
                      f"{period} saves at iter {(period // k_disp + 1) * k_disp})")
         from txt2vid_tpu.parallel.mesh import jit_scanned_train_step_sharded
+        step_fn = build_train_step(gan, losses, optG, optD, config)
         jitted_raw = jit_scanned_train_step_sharded(step_fn, k_disp, mesh,
                                                    state_shardings=state_shardings)
     else:
+        step_fn = build_train_step(gan, losses, optG, optD, config)
         jitted_raw = jit_train_step_sharded(step_fn, mesh,
                                            state_shardings=state_shardings)
 
@@ -329,6 +348,13 @@ def build_parser():
     parser.add_argument('--sgd', action='store_true', default=False)
     parser.add_argument('--clip_grad', type=float, default=None,
                         help='global gradient-norm clip for both optimizers')
+    parser.add_argument('--clip_grad_split', action='store_true', default=False,
+                        help='compile the D backward, the clip math, and the '
+                             'update+G phase as THREE separate programs: the '
+                             'workaround for the TPU shape where any clip '
+                             'formulation fused into the D backward program '
+                             'miscompiles it to NaN (RESULTS.md round 3); '
+                             'costs one extra generator forward per step')
     parser.add_argument('--bf16_nu', action='store_true', default=False,
                         help='store the second Adam moment in bfloat16 as well '
                              '(HBM byte lever; update math stays f32)')
