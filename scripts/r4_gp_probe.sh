@@ -21,6 +21,18 @@
 #         offline repro.
 #
 # Each arm needs ~500 iters (~6 min at 0.65 s/iter) past the resume point.
+#
+# RESULT (end of round 3, RESULTS.md "GP convicted"): arm B RAN — 750 iters
+# through 2000->2750, zero non-finite fetches, rc=0. GP double-backward is
+# convicted; arm C is moot. Round-4 order is now mitigation, not diagnosis:
+#   1. arm A (--gp_every 4) — confirm the wall quantizes to GP steps AND
+#      measure whether 1-in-4 GP is enough regularization to keep D honest
+#      (arm B's D won outright: loss_D -> 0.1 by iter 2750).
+#   2. GP-grad quarantine: compute the GP contribution to the D gradient as a
+#      separate vjp and zero only ITS non-finite leaves (keeping the main-loss
+#      gradient), so one poisoned GP step can't freeze the whole D phase.
+#   3. f32 GP island / zero-centered GP on pooled features if (2) still walls.
+#   4. XLA repro from the iter-2200 D-backward HLO in parallel if useful.
 set -x
 cd "$(dirname "$0")/.."
 WD=scripts/run_with_watchdog.sh
