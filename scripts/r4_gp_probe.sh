@@ -31,6 +31,11 @@
 #   2. GP-grad quarantine: compute the GP contribution to the D gradient as a
 #      separate vjp and zero only ITS non-finite leaves (keeping the main-loss
 #      gradient), so one poisoned GP step can't freeze the whole D phase.
+#      Slot: gan/train_step.py:321-344 (the lazy_gp lax.cond already shows the
+#      two-vjp pattern); needs a gp_only mode on gan.all_discrim_forward so the
+#      GP term gets its own value_and_grad (the GP forward is on interpolates,
+#      so no residuals are shared with the main loss anyway), then
+#      g = g_main + per-leaf-sanitize(g_gp) + a quarantine counter metric.
 #   3. f32 GP island / zero-centered GP on pooled features if (2) still walls.
 #   4. XLA repro from the iter-2200 D-backward HLO in parallel if useful.
 set -x
