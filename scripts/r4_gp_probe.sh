@@ -24,7 +24,15 @@
 #
 # RESULT (end of round 3, RESULTS.md "GP convicted"): arm B RAN — 750 iters
 # through 2000->2750, zero non-finite fetches, rc=0. GP double-backward is
-# convicted; arm C is moot. Round-4 order is now mitigation, not diagnosis:
+# convicted; arm C is moot.
+#
+# RESULT (round 4, arm A): 500 iters through 2000->2500 (session-killed, not
+# aborted), zero non-finite fetches — the wall did NOT quantize to GP steps;
+# with 3 of 4 steps GP-free the D keeps moving and the wall never forms
+# (feedback-loop reading, RESULTS.md "gp_every-4 probe"). |g|D spiky-but-
+# finite on GP steps (5k-12k clipped peaks at the x4 lazy weight). Production
+# arm: scripts/r4_queue1.sh (--gp_every 4 + --gp_quarantine + split clip).
+# Round-4 order was mitigation, not diagnosis:
 #   1. arm A (--gp_every 4) — confirm the wall quantizes to GP steps AND
 #      measure whether 1-in-4 GP is enough regularization to keep D honest
 #      (arm B's D won outright: loss_D -> 0.1 by iter 2750).

@@ -162,3 +162,140 @@ class TestSplitEqualsFused:
                 1.0 + abs(float(sm[k]))), (k, sm[k], smm[k])
         assert_trees_close(sf.g_vars, ss.g_vars)
         assert_trees_close(sf.d_vars, ss.d_vars)
+
+
+class TestGpQuarantine:
+    """--gp_quarantine (TrainConfig.gp_quarantine): the GP term's gradient is
+    a separate vjp whose non-finite leaves are zeroed per-leaf, keeping the
+    main-loss D gradient. Pins (a) the healthy-path decomposition exactly
+    equal to the fused gp term (main + gp_only == both, for loss and params),
+    (b) the poisoned path: a GP whose gradient is NaN costs only its own
+    leaves — the step's params stay finite and equal the main-only update —
+    and the quarantine counter reports it."""
+
+    def test_quarantine_equals_fused_when_finite(self):
+        import dataclasses
+        gan, cfg, batch, optG, optD = make_cond_flagship_analog()
+        cfg = dataclasses.replace(cfg, clip_grad=0.0)
+        cfg_q = dataclasses.replace(cfg, gp_quarantine=True)
+        state0 = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+
+        fused = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+        quar = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg_q))
+
+        sf, sq = state0, state0
+        for i in range(2):
+            key = jax.random.key(11 + i)
+            sf, mf = fused(sf, batch, key)
+            sq, mq = quar(sq, batch, key)
+
+        assert int(mq["gp_quarantined"]) == 0
+        assert "gp_quarantined" not in mf
+        for k in ("loss_d", "loss_g", "grad_norm_d", "grad_norm_g"):
+            assert abs(float(mf[k]) - float(mq[k])) < 2e-3 * (
+                1.0 + abs(float(mf[k]))), (k, mf[k], mq[k])
+        assert_trees_close(sf.g_vars, sq.g_vars)
+        assert_trees_close(sf.d_vars, sq.d_vars)
+
+    def test_split_quarantine_equals_fused_when_finite(self):
+        import dataclasses
+        gan, cfg, batch, optG, optD = make_cond_flagship_analog()
+        cfg_q = dataclasses.replace(cfg, gp_quarantine=True)
+        state0 = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+
+        fused = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg))
+        d_grad, clip, apply_ = build_split_train_step(
+            gan, L.RSGANLoss(), optG, optD, cfg_q)
+        jd, jc, ja = jax.jit(d_grad), jax.jit(clip), jax.jit(apply_)
+
+        def split_step(state, b, key):
+            grads, loss_d = jd(state, b, key)
+            grads, norm = jc(grads)
+            return ja(state, b, key, grads, norm, loss_d)
+
+        sf, ss = state0, state0
+        for i in range(2):
+            key = jax.random.key(7 + i)
+            sf, mf = fused(sf, batch, key)
+            ss, ms = split_step(ss, batch, key)
+
+        assert int(ms["gp_quarantined"]) == 0
+        for k in ("loss_d", "loss_g", "grad_norm_d", "grad_norm_g"):
+            assert abs(float(mf[k]) - float(ms[k])) < 2e-3 * (
+                1.0 + abs(float(mf[k]))), (k, mf[k], ms[k])
+        assert_trees_close(sf.d_vars, ss.d_vars)
+        assert_trees_close(sf.g_vars, ss.g_vars)
+
+    @staticmethod
+    def _poison_gp(gan):
+        """Replace the GP with a term whose VALUE is finite (0) but whose
+        theta_D-gradient is NaN — sqrt at 0 has an infinite derivative, and
+        the zero cotangent turns it into inf*0 = nan — the queue-19 wall's
+        exact fingerprint (finite loss, non-finite D-param gradient)."""
+        import types
+
+        def bad_gp(self, i, d_vars, key, *a, **k):
+            leaf = jax.tree_util.tree_leaves(d_vars["params"])[0]
+            return jnp.sqrt(jnp.sum(leaf * 0.0))
+
+        gan._gradient_penalty = types.MethodType(bad_gp, gan)
+
+    def test_quarantine_contains_poisoned_gp(self):
+        import dataclasses
+        gan, cfg, batch, optG, optD = make_cond_flagship_analog()
+        cfg = dataclasses.replace(cfg, clip_grad=0.0)
+        cfg_q = dataclasses.replace(cfg, gp_quarantine=True)
+        cfg_nogp = dataclasses.replace(cfg, gp_lambda=-1.0)
+        state0 = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+
+        self._poison_gp(gan)
+        quar = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD, cfg_q))
+        nogp = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD,
+                                        cfg_nogp))
+        key = jax.random.key(5)
+        sq, mq = quar(state0, batch, key)
+        sn, mn = nogp(state0, batch, key)
+
+        assert int(mq["gp_quarantined"]) >= 1
+        # params stay finite and equal the main-only update: the poisoned GP
+        # gradient was zeroed, not propagated
+        for leaf in jax.tree_util.tree_leaves(sq.d_vars):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        assert_trees_close(sn.d_vars, sq.d_vars)
+        # the poisoned GP's value is 0 here, so losses agree too
+        assert abs(float(mq["loss_d"]) - float(mn["loss_d"])) < 1e-5
+
+    def test_split_quarantine_contains_poisoned_gp(self):
+        import dataclasses
+        gan, cfg, batch, optG, optD = make_cond_flagship_analog()
+        cfg_q = dataclasses.replace(cfg, gp_quarantine=True)
+        state0 = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+
+        self._poison_gp(gan)
+        d_grad, clip, apply_ = build_split_train_step(
+            gan, L.RSGANLoss(), optG, optD, cfg_q)
+        jd, jc, ja = jax.jit(d_grad), jax.jit(clip), jax.jit(apply_)
+        key = jax.random.key(5)
+        grads, loss_d = jd(state0, batch, key)
+        # the D-backward program carries main and gp as separate trees
+        assert set(grads.keys()) == {"main", "gp"}
+        grads, norm = jc(grads)
+        ss, ms = ja(state0, batch, key, grads, norm, loss_d)
+
+        assert int(ms["gp_quarantined"]) >= 1
+        assert np.isfinite(float(ms["grad_norm_d"]))
+        for leaf in jax.tree_util.tree_leaves(ss.d_vars):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_quarantine_nonfinite_unit(self):
+        from txt2vid_tpu.gan.train_step import _quarantine_nonfinite
+        tree = {"a": jnp.array([1.0, 2.0]),
+                "b": jnp.array([np.nan, 1.0]),
+                "c": jnp.array([np.inf]),
+                "d": jnp.array([3.0])}
+        out, n = jax.jit(_quarantine_nonfinite)(tree)
+        assert int(n) == 2
+        np.testing.assert_array_equal(np.asarray(out["a"]), [1.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(out["b"]), [0.0, 0.0])
+        np.testing.assert_array_equal(np.asarray(out["c"]), [0.0])
+        np.testing.assert_array_equal(np.asarray(out["d"]), [3.0])

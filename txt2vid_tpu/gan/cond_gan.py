@@ -123,12 +123,30 @@ class CondGan:
     def discrim_forward(self, i, d_vars, real_scales=None, fake_scales=None,
                         cond_scales=None, fake_cond_scales=None, real_mapping=None,
                         fake_mapping=None, loss=None, gp_lambda: float = -1.0,
-                        gp_key=None, train: bool = True):
+                        gp_key=None, train: bool = True, gp_only: bool = False):
         """Per-discriminator D-phase loss (reference cond_gan.py:34-87).
-        Returns (loss | None, fake_pred, real_pred)."""
+        Returns (loss | None, fake_pred, real_pred).
+
+        gp_only=True returns ONLY the gp_lambda-weighted gradient-penalty term
+        (no main-loss forwards). The GP's D forward runs on alpha-interpolated
+        inputs, so it shares no intermediates with the main loss — splitting
+        them is a clean decomposition: both-terms loss == main + gp_only, and
+        the same holds for parameter gradients (pinned by
+        tests/test_train_step.py). Used by TrainConfig.gp_quarantine to give
+        the GP term its own vjp whose non-finite leaves can be zeroed without
+        touching the main-loss gradient."""
         l = None
         fake_pred = None
         real_pred = None
+
+        if gp_only:
+            if loss is not None and gp_lambda > 0:
+                gp = self._gradient_penalty(i, d_vars, gp_key, real_scales,
+                                            fake_scales, cond_scales,
+                                            fake_cond_scales, real_mapping,
+                                            fake_mapping, train)
+                l = gp_lambda * gp
+            return l, fake_pred, real_pred
 
         if cond_scales is not None:
             real_cc = self.apply_discrim(i, d_vars, real_scales, cond_scales,
@@ -218,9 +236,13 @@ class CondGan:
 
     def all_discrim_forward(self, d_vars_list, real_scales=None, fake_scales=None,
                             cond_scales=None, loss=None, gp_lambda: float = -1.0,
-                            key=None, m_vars=None, train: bool = True):
+                            key=None, m_vars=None, train: bool = True,
+                            gp_only: bool = False):
         """Loop over discriminators (reference cond_gan.py:121-154).
-        Returns (losses, fake_preds, real_preds)."""
+        Returns (losses, fake_preds, real_preds). gp_only: see discrim_forward —
+        the per-discriminator key splits below are unconditional on gp_only, so
+        the gp_only pass draws the SAME perm/gp keys as the main pass and the
+        two decompose the both-terms loss exactly."""
         real_mapping = fake_mapping = None
         if self.sample_mapping is not None:
             real_video = real_scales[0] if real_scales is not None else None
@@ -241,7 +263,8 @@ class CondGan:
                 i, d_vars_list[i], real_scales=real_scales, fake_scales=fake_scales,
                 cond_scales=cond_scales, fake_cond_scales=fake_conds,
                 real_mapping=real_mapping, fake_mapping=fake_mapping,
-                loss=loss, gp_lambda=gp_lambda, gp_key=gp_key, train=train)
+                loss=loss, gp_lambda=gp_lambda, gp_key=gp_key, train=train,
+                gp_only=gp_only)
             losses.append(l)
             fake_preds.append(f)
             real_preds.append(r)

@@ -48,6 +48,20 @@ class TrainConfig:
     # steps skip the GP computation entirely at runtime (lax.cond on the device
     # step counter — both branches compile, one executes).
     gp_every: int = 1
+    # GP-gradient quarantine (--gp_quarantine): compute the gradient-penalty
+    # term's parameter gradient as a SEPARATE vjp from the main D loss and
+    # zero only ITS non-finite leaves, so one poisoned GP double-backward
+    # costs that step's regularization, not the run. Motivation (RESULTS.md
+    # round 3, queue-19 + the r4 GP probes): at the 3-scale cond-128 flagship
+    # shape the GP double-backward (∇_θ‖∇_x D‖²) enters a params region where
+    # it is non-finite on EVERY batch while the main-loss gradient, the loss
+    # value, and |g|G all stay finite — without the quarantine the whole D
+    # phase freezes (the clip guard zeroes the combined update forever). The
+    # split is exact: the GP forward runs on alpha-interpolated inputs and
+    # shares no residuals with the main loss, so main + gp_only gradients
+    # equal the fused gradient (pinned by tests). A `gp_quarantined` metric
+    # counts zeroed leaves so quarantined steps are visible, not silent.
+    gp_quarantine: bool = False
     end2end: bool = False
     # Reference --end2end puts encoder params in BOTH optimizers (gan.py:82-85).
     # False = encoder updated by the D phase only: the G phase cannot minimize its
@@ -108,6 +122,26 @@ def _clip_by_norm(grads, norm, clip):
     # zero via select, not multiplication: inf * 0.0 = nan
     return jax.tree.map(
         lambda g: jnp.where(finite, g * scale, jnp.zeros_like(g)), grads)
+
+
+def _quarantine_nonfinite(grads):
+    """Zero every non-finite LEAF of a gradient tree (via select — a
+    multiplicative zero re-poisons: inf * 0 = nan) and count how many leaves
+    were zeroed. Per-leaf, not global: a blow-up usually poisons a subtree
+    (e.g. one discriminator scale's params through the GP double-backward)
+    while the rest of the tree is usable. The optimization barrier keeps the
+    sanitize selects from fusing into the producing backward — selects fused
+    into the D backward are exactly the bisect-18 miscompile trigger at the
+    flagship shape (see _norm_and_clip)."""
+    grads = jax.lax.optimization_barrier(grads)
+    leaves, treedef = jax.tree_util.tree_flatten(grads)
+    n_bad = jnp.zeros((), jnp.int32)
+    out = []
+    for leaf in leaves:
+        ok = jnp.all(jnp.isfinite(leaf))
+        n_bad = n_bad + jnp.where(ok, 0, 1).astype(jnp.int32)
+        out.append(jnp.where(ok, leaf, jnp.zeros_like(leaf)))
+    return jax.tree_util.tree_unflatten(treedef, out), n_bad
 
 
 def _norm_and_clip(grads, clip):
@@ -298,7 +332,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         if config.end2end and state.txt_vars is not None:
             d_opt_params["txt"] = state.txt_vars["params"]
 
-        def make_d_loss(gp_lambda):
+        def make_d_loss(gp_lambda, gp_only=False):
             def d_loss_fn(opt_params, dkey):
                 d_vars_list = [
                     _merge_vars(v, p) for v, p in zip(state.d_vars, opt_params["d"])]
@@ -311,37 +345,68 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
                 ls, _, _ = gan.all_discrim_forward(
                     d_vars_list, real_scales=real_scales, fake_scales=fake_scales,
                     cond_scales=cond_scales, loss=losses,
-                    gp_lambda=gp_lambda, key=dkey, m_vars=state.m_vars, train=True)
+                    gp_lambda=gp_lambda, key=dkey, m_vars=state.m_vars, train=True,
+                    gp_only=gp_only)
                 total = gan.weighted_sum(ls)
                 if config.mean_discrim_loss:
                     total = total / config.discrim_steps
                 return total
             return d_loss_fn
 
-        d_loss_fn = make_d_loss(config.gp_lambda)
+        # d-phase runners, all (opt_params, dkey) -> (loss, grads, n_quarantined)
+        def d_run_plain(gp_lambda):
+            vg = jax.value_and_grad(make_d_loss(gp_lambda))
+
+            def run(opt_params, dkey):
+                loss, grads = vg(opt_params, dkey)
+                return loss, grads, jnp.zeros((), jnp.int32)
+            return run
+
+        def d_run_quarantined(gp_lambda):
+            # two vjps: the GP forward runs on interpolates, so it shares no
+            # residuals with the main loss — splitting costs ~nothing and lets
+            # a poisoned GP gradient be zeroed per-leaf without touching the
+            # main-loss gradient (see TrainConfig.gp_quarantine)
+            main_vg = jax.value_and_grad(make_d_loss(-1.0))
+            gp_vg = jax.value_and_grad(make_d_loss(gp_lambda, gp_only=True))
+
+            def run(opt_params, dkey):
+                loss_main, g_main = main_vg(opt_params, dkey)
+                loss_gp, g_gp = gp_vg(opt_params, dkey)
+                g_gp, n_bad = _quarantine_nonfinite(g_gp)
+                ok_v = jnp.isfinite(loss_gp)
+                n_bad = n_bad + jnp.where(ok_v, 0, 1).astype(jnp.int32)
+                loss_gp = jnp.where(ok_v, loss_gp, 0.0)
+                grads = jax.tree.map(jnp.add, g_main, g_gp)
+                return loss_main + loss_gp, grads, n_bad
+            return run
+
         lazy_gp = config.gp_lambda > 0 and config.gp_every > 1
+        quarantine = config.gp_quarantine and config.gp_lambda > 0
+        # lazy regularization: GP on step % gp_every == 0, weight scaled by
+        # gp_every (time-averaged strength preserved); off steps run the
+        # no-GP branch — no second D forward, no double backward
+        gp_scale = config.gp_lambda * (config.gp_every if lazy_gp else 1)
+        d_run_on = (d_run_quarantined if quarantine else d_run_plain)(gp_scale)
         if lazy_gp:
-            # lazy regularization: GP on step % gp_every == 0, weight scaled by
-            # gp_every (time-averaged strength preserved); off steps run the
-            # no-GP branch — no second D forward, no double backward
             do_gp = (state.step % config.gp_every) == 0
-            d_vg_on = jax.value_and_grad(
-                make_d_loss(config.gp_lambda * config.gp_every))
-            d_vg_off = jax.value_and_grad(make_d_loss(-1.0))
+            d_run_off = d_run_plain(-1.0)
 
         opt_d_state = state.opt_d_state
         total_d_loss = 0.0
+        gp_quar = jnp.zeros((), jnp.int32)
         d_grad_norm = g_grad_norm = jnp.zeros((), jnp.float32)
         for j in range(config.discrim_steps):
             dkey = jax.random.fold_in(k_d, j)
             if lazy_gp:
-                loss_d, grads = jax.lax.cond(
+                loss_d, grads, n_bad = jax.lax.cond(
                     do_gp,
-                    lambda a: d_vg_on(*a),
-                    lambda a: d_vg_off(*a),
+                    lambda a: d_run_on(*a),
+                    lambda a: d_run_off(*a),
                     (d_opt_params, dkey))
             else:
-                loss_d, grads = jax.value_and_grad(d_loss_fn)(d_opt_params, dkey)
+                loss_d, grads, n_bad = d_run_on(d_opt_params, dkey)
+            gp_quar = gp_quar + n_bad
             grads, d_grad_norm = _norm_and_clip(grads, config.clip_grad)
             updates, opt_d_state = optD.update(grads, opt_d_state, d_opt_params)
             d_opt_params = optax.apply_updates(d_opt_params, updates)
@@ -458,6 +523,8 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         # threshold is chosen.
         metrics = {"loss_d": total_d_loss, "loss_g": total_g_loss,
                    "grad_norm_d": d_grad_norm, "grad_norm_g": g_grad_norm}
+        if quarantine:
+            metrics["gp_quarantined"] = gp_quar
         return new_state, metrics
 
     return train_step
@@ -546,7 +613,7 @@ def build_split_train_step(gan: CondGan, losses, optG, optD,
                          key=p["k_gen"], train=True))
         d_opt_params = d_opt_params_of(state)
 
-        def make_d_loss(gp_lambda):
+        def make_d_loss(gp_lambda, gp_only=False):
             def d_loss_fn(opt_params, dkey):
                 d_vars_list = [_merge_vars(v, q)
                                for v, q in zip(state.d_vars, opt_params["d"])]
@@ -562,7 +629,7 @@ def build_split_train_step(gan: CondGan, losses, optG, optD,
                     d_vars_list, real_scales=real_scales,
                     fake_scales=fake_scales, cond_scales=cond_scales,
                     loss=losses, gp_lambda=gp_lambda, key=dkey,
-                    m_vars=state.m_vars, train=True)
+                    m_vars=state.m_vars, train=True, gp_only=gp_only)
                 total = gan.weighted_sum(ls)
                 if config.mean_discrim_loss:
                     total = total / config.discrim_steps
@@ -570,12 +637,38 @@ def build_split_train_step(gan: CondGan, losses, optG, optD,
             return d_loss_fn
 
         dkey = jax.random.fold_in(p["k_d"], 0)
-        if config.gp_lambda > 0 and config.gp_every > 1:
+        lazy_gp = config.gp_lambda > 0 and config.gp_every > 1
+        gp_scale = config.gp_lambda * (config.gp_every if lazy_gp else 1)
+        if config.gp_quarantine and config.gp_lambda > 0:
+            # quarantine mode: main and GP gradients leave this program as
+            # SEPARATE trees — the sanitize selects live in clip_step's
+            # program, because selects fused into this backward are the
+            # bisect-18 miscompile trigger at the flagship shape. The carried
+            # payload doubles (two params-sized trees), still single-digit ms
+            # against the flagship step.
+            main_vg = jax.value_and_grad(make_d_loss(-1.0))
+            gp_vg = jax.value_and_grad(make_d_loss(gp_scale, gp_only=True))
+
+            def both(a):
+                loss_main, g_main = main_vg(*a)
+                loss_gp, g_gp = gp_vg(*a)
+                return {"main": g_main, "gp": g_gp}, (loss_main, loss_gp)
+
+            if lazy_gp:
+                def main_only(a):
+                    loss_main, g_main = main_vg(*a)
+                    return ({"main": g_main,
+                             "gp": jax.tree.map(jnp.zeros_like, g_main)},
+                            (loss_main, jnp.zeros_like(loss_main)))
+                do_gp = (state.step % config.gp_every) == 0
+                return jax.lax.cond(do_gp, both, main_only,
+                                    (d_opt_params, dkey))
+            return both((d_opt_params, dkey))
+        if lazy_gp:
             do_gp = (state.step % config.gp_every) == 0
             loss_d, grads = jax.lax.cond(
                 do_gp,
-                lambda a: jax.value_and_grad(
-                    make_d_loss(config.gp_lambda * config.gp_every))(*a),
+                lambda a: jax.value_and_grad(make_d_loss(gp_scale))(*a),
                 lambda a: jax.value_and_grad(make_d_loss(-1.0))(*a),
                 (d_opt_params, dkey))
         else:
@@ -585,13 +678,28 @@ def build_split_train_step(gan: CondGan, losses, optG, optD,
 
     # ---------------------------------------------------- program 2: clip
     def clip_step(grads):
+        gp_quar = None
+        if config.gp_quarantine and config.gp_lambda > 0:
+            g_gp, gp_quar = _quarantine_nonfinite(grads["gp"])
+            grads = jax.tree.map(jnp.add, grads["main"], g_gp)
         norm = optax.global_norm(grads)
         if config.clip_grad:
             grads = _clip_by_norm(grads, norm, config.clip_grad)
-        return grads, norm
+        return grads, (norm if gp_quar is None else (norm, gp_quar))
 
     # ------------------------------------- program 3: updates + G phase
     def apply_step(state, batch, key, d_grads, d_grad_norm, loss_d):
+        gp_quar = None
+        if config.gp_quarantine and config.gp_lambda > 0:
+            # unpack the quarantine payloads (see d_grad_step/clip_step) and
+            # sanitize the carried GP loss VALUE the same way its gradient
+            # was: a non-finite GP value must not trip the host loss-abort
+            # when the quarantine already contained the damage
+            d_grad_norm, gp_quar = d_grad_norm
+            loss_main, loss_gp = loss_d
+            ok_v = jnp.isfinite(loss_gp)
+            gp_quar = gp_quar + jnp.where(ok_v, 0, 1).astype(jnp.int32)
+            loss_d = loss_main + jnp.where(ok_v, loss_gp, 0.0)
         p = prelude(state, batch, key)
         z, k_gen, k_g = p["z"], p["k_gen"], p["k_g"]
         has_cond, cond_scales_g = p["has_cond"], p["cond_scales"]
@@ -715,6 +823,8 @@ def build_split_train_step(gan: CondGan, losses, optG, optD,
             opt_g_state=opt_g_state, opt_d_state=opt_d_state)
         metrics = {"loss_d": loss_d, "loss_g": total_g_loss,
                    "grad_norm_d": d_grad_norm, "grad_norm_g": g_grad_norm}
+        if gp_quar is not None:
+            metrics["gp_quarantined"] = gp_quar
         return new_state, metrics
 
     return d_grad_step, clip_step, apply_step

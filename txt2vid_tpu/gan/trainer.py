@@ -51,6 +51,13 @@ def add_params_to_parser(parser: argparse.ArgumentParser):
                         help='lazy GP regularization: apply the gradient penalty '
                              'only every k-th step with its weight scaled by k '
                              '(StyleGAN2-style; 1 = reference every-step behavior)')
+    parser.add_argument('--gp_quarantine', action='store_true', default=False,
+                        help='compute the GP term\'s gradient as a separate vjp '
+                             'and zero only ITS non-finite leaves, keeping the '
+                             'main-loss D gradient — one poisoned GP '
+                             'double-backward costs a step\'s regularization, '
+                             'not the run (TrainConfig.gp_quarantine); '
+                             'quarantined steps are counted in the status line')
     parser.add_argument('--save_initial', action='store_true', default=False)
     parser.add_argument('--save_initial_examples', action='store_true', default=False)
     parser.add_argument('--save_model_period', type=int, default=100)
@@ -200,6 +207,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     gnorm_d = RollingAvg(params.loss_window_size)
     gnorm_g = RollingAvg(params.loss_window_size)
     nonfinite_gnorm = {"d": 0, "g": 0}  # run totals, surfaced in the status line
+    gp_quarantined = [0]                # run total of zeroed GP-gradient leaves
     avg_data_load = RollingAvg(params.log_period)
     avg_iter = RollingAvg(params.log_period)
     data_watch, iter_watch = Stopwatch(), Stopwatch()
@@ -290,6 +298,13 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                                    "consecutively — the clip guard is zeroing "
                                    "every G update (frozen phase)"
                                    % gnorm_streak["g"])
+                if "gp_quarantined" in m:
+                    gq_arr = np.atleast_1d(np.asarray(m["gp_quarantined"]))
+                    if j < len(gq_arr):
+                        gp_quarantined[0] += int(gq_arr[j])
+                        if writer is not None and int(gq_arr[j]):
+                            writer.add_scalar("gp_quarantined",
+                                              int(gq_arr[j]), sub_it)
                 if writer is not None:
                     writer.add_scalar("loss/discrim", float(ld), sub_it)
                     writer.add_scalar("loss/gen", float(lg), sub_it)
@@ -367,6 +382,8 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                     return s
                 gn = (_gfmt("D", gnorm_d, nonfinite_gnorm["d"])
                       + _gfmt("G", gnorm_g, nonfinite_gnorm["g"]))
+                if gp_quarantined[0]:
+                    gn += " GPq: %d" % gp_quarantined[0]
                 status("[%d/%d; %d/%d] - Iter %d, Loss_D: %.4f Loss_G: %.4f%s - "
                        "%.4f sec/iter; %.4f sec/batch load" % (
                            epoch, num_epoch, i, len(dataset), iteration,

@@ -134,6 +134,7 @@ def main(args):
         gen_steps=args.gen_steps,
         gp_lambda=args.gp_lambda,
         gp_every=args.gp_every,
+        gp_quarantine=getattr(args, "gp_quarantine", False),
         end2end=args.end2end or args.end2end_d_only,
         end2end_txt_in_g=not args.end2end_d_only,
         mean_discrim_loss=not args.no_mean_discrim_loss,
