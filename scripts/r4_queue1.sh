@@ -70,7 +70,7 @@ for attempt in $(seq 1 12); do
   else
     WARM=(--resume)
   fi
-  $WD /tmp/r4_cond128_q1.log 900 "$CHUNK" -- \
+  $WD /tmp/r4_cond128_q1.log 1500 "$CHUNK" -- \
     python -m txt2vid_tpu.train.gan \
       --G "$GC3" --D "$DC3" \
       --sent txt2vid_tpu.models.txt.Seq2Seq \
