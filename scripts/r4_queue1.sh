@@ -11,11 +11,17 @@
 #                     GP steps): 3 of 4 steps have no double-backward at all,
 #                     and the wall's feedback loop (poisoned GP step -> frozen
 #                     D -> params stuck in the bad region) cannot close.
-#   --gp_quarantine   if a GP step IS poisoned, its gradient is zeroed
-#                     per-leaf in the standalone clip program while the
-#                     main-loss D gradient applies normally; the GPq counter
-#                     makes every quarantined step visible.
 #   --clip_grad 100 --clip_grad_split   the queue-19 spike protection stays.
+#
+# NO --gp_quarantine here, by measurement (take 6a, 16:00): with quarantine
+# on, EVERY GP step's standalone-vjp gradient came back non-finite from the
+# first iteration (~13.6 leaves/GP-step, GPq 1400 by iter 2400) at the SAME
+# checkpoint where arm A's FUSED GP backward was finite for 125 straight GP
+# steps — the split-out GP backward is another instance of this shape's
+# program-composition fragility (bisect-18 class), not a numerics problem.
+# A run whose GP is always zeroed is effectively gp_lambda-0, which probe B
+# showed collapses the D. Quarantine remains correct and tested on the CPU
+# backend and other shapes; at THIS shape production uses lazy GP alone.
 #
 # Start point: out/r3_cond128_q18/iter_2000 (the last GP-bearing state before
 # the wall). NOT --resume from that dir: its latest checkpoint (iter_2750) is
@@ -80,7 +86,7 @@ for attempt in $(seq 1 12); do
       --vocab synthetic_big/vocab.pickle \
       --frame_sizes 32 64 128 --subsample_input --num_channels 1 \
       --D_loss txt2vid_tpu.gan.losses.RSGANLoss --gp_lambda 1.0 \
-      --gp_every 4 --gp_quarantine \
+      --gp_every 4 \
       --G_lr 0.0002 --D_lr 0.0001 --G_beta2 0.999 --D_beta2 0.999 \
       --clip_grad 100 --clip_grad_split \
       --batch_size 32 --epochs 60 --seed "$SEED" "${WARM[@]}" \
