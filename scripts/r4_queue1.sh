@@ -64,7 +64,13 @@ latest_iter() {
     | sed 's/.*iter_\([0-9]*\)_.*/\1/' | sort -n | tail -1
 }
 
-SEED=71
+# Take 7+: seed must differ from take 6's 71 — per-step keys fold in
+# (seed, step), so replaying 71 from the iter_10000 checkpoint would
+# deterministically re-enter the iter-10950 lock-in. The new windowed
+# NaN-abort (trainer --nan_abort_window, default 20-in-200) turns any
+# re-lock-in into an exit-42 rollback within ~100 iters instead of the
+# take-6 zombie walk.
+SEED=${SEED:-72}
 for attempt in $(seq 1 12); do
   LEFT=$(( DEADLINE - $(date +%s) ))
   [ "$LEFT" -lt 300 ] && { echo "train deadline reached"; break; }

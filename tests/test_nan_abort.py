@@ -127,6 +127,43 @@ def test_clipped_isolated_nonfinite_survives(tmp_path):
     assert int(final.step) == 8
 
 
+def test_clipped_windowed_rate_aborts_lazy_gp_lockin(tmp_path):
+    # --gp_every 4 lock-in signature: every 4th step's grad norm is non-finite
+    # (the GP steps), so the CONSECUTIVE streak never exceeds 1 and the streak
+    # detector is blind — the windowed rate detector must fire instead
+    gan, state, batch = _tiny_state()
+    step = _fake_step(lambda it: {
+        "loss_d": np.float32(0.5), "loss_g": np.float32(0.5),
+        "grad_norm_d": np.float32(np.nan if it % 4 == 0 else 1.0),
+        "grad_norm_g": np.float32(1.0)})
+    params = _params(tmp_path, clip_grad=50.0, nan_abort_streak=4,
+                     nan_abort_window=16, nan_abort_window_count=4)
+    with pytest.raises(trainer.NanAbort) as exc:
+        trainer.train(gan=gan, state=state, train_step=step, num_epoch=1,
+                      dataset=FakeLoader(batch, 20), params=params, seed=0)
+    assert exc.value.iteration == 16  # events at 4/8/12/16 inside window 16
+    assert "within the last" in exc.value.what
+
+
+def test_burst_guard_skips_midonset_checkpoint(tmp_path):
+    # a non-finite burst in progress (>=3 events in the trailing 100 steps,
+    # below the abort threshold) must NOT be checkpointed: take-6's
+    # iter_11000 was written mid-onset and poisoned the rollback trail
+    gan, state, batch = _tiny_state()
+    step = _fake_step(lambda it: {
+        "loss_d": np.float32(0.5), "loss_g": np.float32(0.5),
+        "grad_norm_d": np.float32(np.nan if it in (4, 8, 12) else 1.0),
+        "grad_norm_g": np.float32(1.0)})
+    params = _params(tmp_path, clip_grad=50.0, save_model_period=6,
+                     nan_abort_window=200, nan_abort_window_count=50)
+    final = trainer.train(gan=gan, state=state, train_step=step, num_epoch=1,
+                          dataset=FakeLoader(batch, 12), params=params, seed=0)
+    assert int(final.step) == 12
+    ckpt = latest_checkpoint(params.out)
+    # iter_6 saved (1 recent event); iter_12 skipped (3 events in window)
+    assert ckpt is not None and "iter_6" in ckpt
+
+
 def test_no_nan_abort_flag_disables(tmp_path):
     gan, state, batch = _tiny_state()
     step = _fake_step(lambda it: {

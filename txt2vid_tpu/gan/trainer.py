@@ -8,6 +8,7 @@ with loss-encoded filenames (trainer.py:269-279), and periodic sample grids
 per video)."""
 
 import argparse
+from collections import deque
 
 import numpy as np
 import jax
@@ -20,9 +21,12 @@ class NanAbort(RuntimeError):
     """Raised by train() when fetched metrics show the run is poisoned or a
     phase is frozen: a non-finite loss (params already NaN — nothing after it
     is useful work), a non-finite grad norm with no clip guard (the update
-    that poisoned the params), or a long unbroken streak of non-finite grad
+    that poisoned the params), a long unbroken streak of non-finite grad
     norms under --clip_grad (the guard is zeroing EVERY update, i.e. that
-    phase is silently frozen — the queue-16 failure mode, RESULTS.md round 3).
+    phase is silently frozen — the queue-16 failure mode, RESULTS.md round 3),
+    or a sustained non-finite RATE within a trailing window (the lazy-GP
+    lock-in under --gp_every k, where only every k-th step is poisoned so no
+    consecutive streak ever forms — the r4_cond128 take-6 failure mode).
 
     Detection happens in the metric drain, which runs before every periodic
     checkpoint save, so a poisoned state is never written: the latest
@@ -85,6 +89,19 @@ def add_params_to_parser(parser: argparse.ArgumentParser):
                         help='with --clip_grad, abort after this many '
                              'CONSECUTIVE non-finite grad norms in one phase '
                              '(the guard zeroing every update = frozen phase)')
+    parser.add_argument('--nan_abort_window', type=int, default=200,
+                        help='with --clip_grad, also abort when '
+                             '--nan_abort_window_count non-finite grad norms '
+                             'land within this many trailing steps of one '
+                             'phase. Catches the lazy-GP (--gp_every k) '
+                             'lock-in, where only every k-th step is poisoned '
+                             'so the CONSECUTIVE streak never forms '
+                             '(r4_cond128 take 6 zombie-walked 1000+ iters '
+                             'this way); 0 disables')
+    parser.add_argument('--nan_abort_window_count', type=int, default=20,
+                        help='non-finite fetches within --nan_abort_window '
+                             'steps that trigger the abort (isolated '
+                             'absorbed spikes stay well below this)')
     return parser
 
 
@@ -230,6 +247,29 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     clip_on = bool(getattr(params, "clip_grad", 0) or 0)
     abort_streak = getattr(params, "nan_abort_streak", 100) or 0
     gnorm_streak = {"d": 0, "g": 0}  # CONSECUTIVE non-finite fetches per phase
+    # Windowed rate detector: under --gp_every k only GP steps are poisoned in
+    # the lock-in mode, so the consecutive streak resets every k-th step and
+    # never fires; a sustained ~1/k non-finite RATE is the signature instead.
+    abort_window = getattr(params, "nan_abort_window", 200) or 0
+    abort_window_count = getattr(params, "nan_abort_window_count", 20) or 0
+    nonfinite_recent = {"d": deque(), "g": deque()}  # sub_it of recent events
+
+    def _window_check(phase, sub_it, label):
+        # the deque also feeds the checkpoint burst guard, so it is
+        # maintained even when the windowed abort itself is disabled
+        rec = nonfinite_recent[phase]
+        rec.append(sub_it)
+        horizon = max(abort_window, 100)
+        while rec and rec[0] <= sub_it - horizon:
+            rec.popleft()
+        if not (abort_window and abort_window_count):
+            return
+        n = sum(1 for s in rec if s > sub_it - abort_window)
+        if nan_abort and clip_on and n >= abort_window_count:
+            _abort(sub_it, "%s grad norm %d times within the last %d steps — "
+                   "sustained poisoning under the clip guard (lazy-GP "
+                   "lock-in: that phase's regularized steps are all frozen)"
+                   % (label, n, abort_window))
 
     def _abort(sub_it, what):
         # drain_pending runs before every periodic checkpoint save, so the
@@ -281,6 +321,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                                    "consecutively — the clip guard is zeroing "
                                    "every D update (frozen phase)"
                                    % gnorm_streak["d"])
+                        _window_check("d", sub_it, "discriminator")
                 if has_gg and j < len(gg_arr):
                     if np.isfinite(gg_arr[j]):
                         gnorm_g.update(float(gg_arr[j]))
@@ -298,6 +339,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                                    "consecutively — the clip guard is zeroing "
                                    "every G update (frozen phase)"
                                    % gnorm_streak["g"])
+                        _window_check("g", sub_it, "generator")
                 if "gp_quarantined" in m:
                     gq_arr = np.atleast_1d(np.asarray(m["gp_quarantined"]))
                     if j < len(gq_arr):
@@ -355,8 +397,21 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                     and iteration % params.save_model_period < k_step
                     and iteration >= params.save_model_period):
                 drain_pending()
-                name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
-                checkpointer.save(state, f"{params.out}/{name}")
+                # burst guard: a non-finite BURST in progress (several events
+                # in the trailing 100 steps, below the abort threshold) means
+                # this state is mid-onset — skip the save rather than write a
+                # contaminated checkpoint (take-6's iter_11000 was saved with
+                # 6 recent zeroed D updates and a drifting Adam nu; rollback
+                # then has to reach 1000 iters further back)
+                burst = any(sum(1 for s in rec if s > iteration - 100) >= 3
+                            for rec in nonfinite_recent.values())
+                if burst:
+                    status(f"skipping checkpoint at iteration {iteration}: "
+                           "non-finite burst in progress (state mid-onset)")
+                else:
+                    name = checkpoint_name(iteration, gen_loss.get(),
+                                           discrim_loss.get())
+                    checkpointer.save(state, f"{params.out}/{name}")
 
             if rss_limit and iteration % 100 < k_step and rss_gb() > rss_limit:
                 status(f"RSS {rss_gb():.1f} GB exceeds --rss_limit_gb "
