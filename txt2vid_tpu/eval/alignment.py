@@ -250,6 +250,13 @@ def main(args):
     state = init_state_abstract(gan, jax.random.key(0), batch, opt, opt, config)
     status(f"Restoring {args.weights}")
     state = restore_state(state, args.weights)
+    if getattr(args, "ema", False):
+        from txt2vid_tpu.gan.ema import load_ema, with_ema_params
+        ema_params = load_ema(args.weights, state.g_vars["params"])
+        assert ema_params is not None, \
+            f"--ema: no sibling {args.weights}.ema (run trained without --g_ema?)"
+        status(f"Scoring EMA params from {args.weights}.ema")
+        state = state.replace(g_vars=with_ema_params(state.g_vars, ema_params))
 
     report = alignment_report(gan, state, vocab, k_per_class=args.k_per_class,
                               seed=args.seed, batch_size=args.batch_size,
@@ -281,4 +288,7 @@ if __name__ == "__main__":
     p.add_argument("--mnist", default=None,
                    help="raw-MNIST dir IF the training data was generated with "
                         "--mnist (keys digit templates to the run's glyph source)")
+    p.add_argument("--ema", action="store_true",
+                   help="score the sibling <weights>.ema generator average "
+                        "instead of the live params (gan/ema.py)")
     main(p.parse_args())

@@ -102,6 +102,12 @@ def add_params_to_parser(parser: argparse.ArgumentParser):
                         help='non-finite fetches within --nan_abort_window '
                              'steps that trigger the abort (isolated '
                              'absorbed spikes stay well below this)')
+    parser.add_argument('--g_ema', type=float, default=0.0,
+                        help='decay for an exponential moving average of the '
+                             'generator params (e.g. 0.999), sampled alongside '
+                             'the live generator and saved as a sibling '
+                             '<checkpoint>.ema file (gan/ema.py). 0 disables '
+                             '(the reference behavior — it has no EMA)')
     return parser
 
 
@@ -159,23 +165,28 @@ def _jitted_encode(gan):
     return _jit_cache[key]
 
 
-def sample(gan, state, batch_size: int, key, cond=None):
+def sample(gan, state, batch_size: int, key, cond=None, g_vars=None):
     """Eval-mode generation (reference trainer.py:44-90 test pathway): running-stat
-    BN, no subsampling, final scale only."""
+    BN, no subsampling, final scale only. `g_vars` overrides the live generator
+    variables (e.g. with EMA params swapped in, gan/ema.py)."""
+    if g_vars is None:
+        g_vars = state.g_vars
     z = jax.random.normal(key, (batch_size, gan.gen.latent_size))
     if cond is not None:
-        out = _jitted_sample(gan, True)(state.g_vars, z, cond)
+        out = _jitted_sample(gan, True)(g_vars, z, cond)
     else:
-        out = _jitted_sample(gan, False)(state.g_vars, z)
+        out = _jitted_sample(gan, False)(g_vars, z)
     return out if isinstance(out, (list, tuple)) else [out]
 
 
-def test(gan=None, state=None, num_samples=1, dataset=None, params=None, vocab=None):
+def test(gan=None, state=None, num_samples=1, dataset=None, params=None, vocab=None,
+         ema=None):
     """Sampling mode (reference trainer.py:44-90; its inner dataset loop broke
     after one batch so every round re-sampled the same data — here each of the
     `num_samples` rounds consumes a fresh batch, wrapping the epoch if needed,
     and outputs are named consistently per round: real_{i}.png, sentences_{i}.txt,
-    fake_{i}_{H}x{W}.jpg)."""
+    fake_{i}_{H}x{W}.jpg). With `ema` (an EMA params tree, gan/ema.py) each
+    round also writes fake_ema_{i}_{H}x{W}.jpg from the averaged generator."""
     ensure_exists(params.out_samples)
     key = jax.random.key(getattr(params, "seed", 0) or 0)
     it = iter(dataset)
@@ -201,11 +212,19 @@ def test(gan=None, state=None, num_samples=1, dataset=None, params=None, vocab=N
             path = f"{params.out_samples}/fake_{i}_{h}x{w}.jpg"
             status(f"saving to {path}")
             save_frames(np.asarray(f), path)
+        if ema is not None:
+            from txt2vid_tpu.gan.ema import with_ema_params
+            key, k = jax.random.split(key)
+            for f in sample(gan, state, x.shape[0], k, cond=cond,
+                            g_vars=with_ema_params(state.g_vars, ema)):
+                h, w = f.shape[-3], f.shape[-2]
+                save_frames(np.asarray(f),
+                            f"{params.out_samples}/fake_ema_{i}_{h}x{w}.jpg")
 
 
 def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
           params=None, vocab=None, seed: int = 0, on_iteration=None,
-          base_key=None):
+          base_key=None, ema=None):
     """Epoch loop (reference trainer.py:111-333). `train_step` is the compiled step
     from gan/train_step.py; `dataset` yields device-ready batch dicts. `base_key`
     (optionally pre-placed on the mesh) is passed to the step UNCHANGED every
@@ -234,8 +253,29 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
         base_key = jax.random.fold_in(key, 0x5eed)
     iteration = int(state.step)
 
-    checkpointer = AsyncCheckpointer(
-        snapshot="host" if getattr(params, "host_snapshot", False) else "device")
+    snapshot = "host" if getattr(params, "host_snapshot", False) else "device"
+    checkpointer = AsyncCheckpointer(snapshot=snapshot)
+
+    k_step = getattr(params, "steps_per_dispatch", 1) or 1
+    # generator-params EMA (gan/ema.py): its own jitted lerp AFTER the step —
+    # the train-step program is byte-identical with EMA on or off, and the EMA
+    # tree checkpoints as a sibling <checkpoint>.ema file via its own
+    # (one-slot) async checkpointer
+    ema_decay = getattr(params, "g_ema", 0.0) or 0.0
+    ema_update = ema_checkpointer = None
+    if ema_decay:
+        from txt2vid_tpu.gan import ema as ema_mod
+        if ema is None:
+            ema = ema_mod.init_ema(state.g_vars["params"])
+        ema_update = ema_mod.make_ema_update(ema_decay, k_step)
+        ema_checkpointer = AsyncCheckpointer(snapshot=snapshot)
+
+        def save_checkpoint(st, path):
+            checkpointer.save(st, path)
+            ema_checkpointer.save(ema, ema_mod.ema_path(path))
+    else:
+        def save_checkpoint(st, path):
+            checkpointer.save(st, path)
 
     # Metrics are left on device until a log/save boundary: a host value fetch is a
     # device sync (expensive per-step on remote transports), and the train step must
@@ -376,12 +416,13 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
             status(f"Epoch {epoch + 1} started")
         data_watch.start()
         iter_watch.start()
-        k_step = getattr(params, "steps_per_dispatch", 1) or 1
         for i, batch in enumerate(dataset):
             avg_data_load.update(data_watch.stop() / k_step)
             iteration += k_step
 
             state, metrics = train_step(state, batch, base_key)
+            if ema_update is not None:
+                ema = ema_update(ema, state.g_vars["params"])
             pending.append((iteration, metrics))
             if len(pending) >= 512:
                 # bound the pending-metrics buffer even when every cadence is
@@ -411,7 +452,7 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                 else:
                     name = checkpoint_name(iteration, gen_loss.get(),
                                            discrim_loss.get())
-                    checkpointer.save(state, f"{params.out}/{name}")
+                    save_checkpoint(state, f"{params.out}/{name}")
 
             if rss_limit and iteration % 100 < k_step and rss_gb() > rss_limit:
                 status(f"RSS {rss_gb():.1f} GB exceeds --rss_limit_gb "
@@ -470,6 +511,13 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                     h, w = f.shape[-3], f.shape[-2]
                     save_frames(np.asarray(f),
                                 f"{params.out_samples}/fake_samples_epoch_{epoch:03d}_iter_{iteration:06d}_{h}x{w}.png")
+                if ema is not None:
+                    from txt2vid_tpu.gan.ema import with_ema_params
+                    for f in sample(gan, state, nb, k, cond=cond,
+                                    g_vars=with_ema_params(state.g_vars, ema)):
+                        h, w = f.shape[-3], f.shape[-2]
+                        save_frames(np.asarray(f),
+                                    f"{params.out_samples}/fake_ema_samples_epoch_{epoch:03d}_iter_{iteration:06d}_{h}x{w}.png")
 
             if on_iteration is not None:
                 on_iteration(iteration, state)
@@ -484,8 +532,10 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     # iteration, not the last periodic boundary
     if params.save_model_period > 0 and iteration % params.save_model_period:
         name = checkpoint_name(iteration, gen_loss.get(), discrim_loss.get())
-        checkpointer.save(state, f"{params.out}/{name}")
+        save_checkpoint(state, f"{params.out}/{name}")
     checkpointer.wait()
+    if ema_checkpointer is not None:
+        ema_checkpointer.wait()
     if writer is not None:
         writer.close()
     return state

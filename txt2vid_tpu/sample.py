@@ -64,6 +64,13 @@ def main(args):
     state = init_state_abstract(gan, jax.random.key(0), batch, opt, opt, config)
     status(f"Restoring {args.weights}")
     state = restore_state(state, args.weights)
+    if getattr(args, "ema", False):
+        from txt2vid_tpu.gan.ema import load_ema, with_ema_params
+        ema_params = load_ema(args.weights, state.g_vars["params"])
+        assert ema_params is not None, \
+            f"--ema: no sibling {args.weights}.ema (run trained without --g_ema?)"
+        status(f"Sampling with EMA params from {args.weights}.ema")
+        state = state.replace(g_vars=with_ema_params(state.g_vars, ema_params))
 
     cond = None
     if txt_encoder is not None and args.sentences:
@@ -106,6 +113,9 @@ def cli(argv=None):
     p.add_argument("--num_samples", type=int, default=8)
     p.add_argument("--out_samples", default="out_samples")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true",
+                   help="sample with the sibling <weights>.ema generator "
+                        "average instead of the live params (gan/ema.py)")
     main(p.parse_args(argv))
 
 

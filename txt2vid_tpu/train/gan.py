@@ -164,6 +164,16 @@ def main(args):
         status(f"Loading weights from {args.weights}")
         state = restore_state(state, args.weights)
 
+    # generator-params EMA (gan/ema.py): restore the sibling <checkpoint>.ema
+    # when present; a checkpoint from a non-EMA run restarts the average from
+    # its live params (inside trainer.train)
+    ema = None
+    if getattr(args, "g_ema", 0) and args.weights:
+        from txt2vid_tpu.gan.ema import load_ema
+        ema = load_ema(args.weights, state.g_vars["params"])
+        if ema is not None:
+            status(f"Restored generator EMA from {args.weights}.ema")
+
     if args.sent_weights:
         from txt2vid_tpu.utils.checkpoint import restore_txt_vars
         status(f"Loading pre-trained sentence model from {args.sent_weights}")
@@ -273,7 +283,7 @@ def main(args):
     if args.test:
         k_disp = 1   # sampling consumes plain batches, never scanned stacks
         trainer.test(gan=gan, state=state, num_samples=args.num_samples,
-                     dataset=LoaderAdapter(), params=args, vocab=vocab)
+                     dataset=LoaderAdapter(), params=args, vocab=vocab, ema=ema)
     else:
         # base key placed on the mesh ONCE; the compiled step folds in its own
         # step counter, so the hot loop does no per-iteration key work at all
@@ -281,7 +291,8 @@ def main(args):
         try:
             trainer.train(gan=gan, state=state, train_step=jitted,
                           num_epoch=args.epochs, dataset=LoaderAdapter(),
-                          params=args, vocab=vocab, seed=seed, base_key=base_key)
+                          params=args, vocab=vocab, seed=seed, base_key=base_key,
+                          ema=ema)
         except trainer.NanAbort as e:
             # distinguishable exit for relaunch harnesses: the last checkpoint
             # on disk predates the event (poisoned states are never saved), so

@@ -131,7 +131,9 @@ def latest_checkpoint(out_dir: str) -> str | None:
     if not p.exists():
         return None
     for f in p.iterdir():
-        if f.name.startswith("iter_"):
+        # sibling artifacts (e.g. the gan/ema.py <checkpoint>.ema tree) are
+        # not restorable states
+        if f.name.startswith("iter_") and not f.name.endswith(".ema"):
             try:
                 cands.append((int(f.name.split("_")[1]), f))
             except (IndexError, ValueError):
