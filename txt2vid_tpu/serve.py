@@ -102,7 +102,7 @@ class GeneratorService:
     def from_checkpoint(cls, weights, G, D, sent=None, vocab_path=None,
                         frame_sizes=(8, 16, 32, 64), num_frames=16,
                         num_channels=3, batch_size=8, max_caption_len=16,
-                        bf16=False):
+                        bf16=False, ema=False):
         import optax
         from txt2vid_tpu.config import create_object
         from txt2vid_tpu.gan.cond_gan import CondGan
@@ -134,6 +134,13 @@ class GeneratorService:
         opt = optax.adam(1e-4)
         state = init_state_abstract(gan, jax.random.key(0), batch, opt, opt, config)
         state = restore_state(state, weights)
+        if ema:
+            from txt2vid_tpu.gan.ema import load_ema, with_ema_params
+            ema_params = load_ema(weights, state.g_vars["params"])
+            assert ema_params is not None, \
+                f"ema=True: no sibling {weights}.ema (run trained without --g_ema?)"
+            state = state.replace(
+                g_vars=with_ema_params(state.g_vars, ema_params))
         return cls(gan, state, vocab=vocab, batch_size=batch_size,
                    max_caption_len=max_caption_len)
 
@@ -146,7 +153,8 @@ def main(args):
         args.weights, args.G, args.D, sent=args.sent, vocab_path=args.vocab,
         frame_sizes=tuple(args.frame_sizes), num_frames=args.num_frames,
         num_channels=args.num_channels, batch_size=args.batch_size,
-        max_caption_len=args.max_caption_len, bf16=args.bf16)
+        max_caption_len=args.max_caption_len, bf16=args.bf16,
+        ema=getattr(args, "ema", False))
 
     if args.bench:
         n = args.bench
@@ -191,6 +199,9 @@ def cli(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_caption_len", type=int, default=16)
     p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--ema", action="store_true", default=False,
+                   help="serve the sibling <weights>.ema generator average "
+                        "instead of the live params (gan/ema.py)")
     p.add_argument("--bench", type=int, default=0,
                    help="measure throughput over N videos, print one JSON line")
     p.add_argument("--out_samples", default="out_samples")
