@@ -87,11 +87,21 @@ def main(args):
 
     ensure_exists(args.out_samples)
     fakes = sample(gan, state, n, jax.random.key(args.seed), cond=cond)
+    fmt = getattr(args, "format", "png")
     for f in fakes:
         h, w = f.shape[-3], f.shape[-2]
-        path = f"{args.out_samples}/sample_{h}x{w}.png"
-        save_frames(np.asarray(f), path)
-        status(f"wrote {path}")
+        if fmt == "png":
+            path = f"{args.out_samples}/sample_{h}x{w}.png"
+            save_frames(np.asarray(f), path)
+            status(f"wrote {path}")
+        else:
+            # one playable clip per sample (utils/video.py)
+            from txt2vid_tpu.utils.video import save_video_batch
+            for path in save_video_batch(
+                    np.asarray(f),
+                    f"{args.out_samples}/sample_{h}x{w}_{{i}}.{fmt}",
+                    fps=args.fps):
+                status(f"wrote {path}")
 
 
 def cli(argv=None):
@@ -116,6 +126,13 @@ def cli(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="sample with the sibling <weights>.ema generator "
                         "average instead of the live params (gan/ema.py)")
+    p.add_argument("--format", default="png",
+                   choices=["png", "gif", "avi", "mp4", "webm"],
+                   help="png = one grid image per scale (reference-style); "
+                        "video formats = one playable clip per sample "
+                        "(utils/video.py)")
+    p.add_argument("--fps", type=int, default=8,
+                   help="frame rate for video-format export")
     main(p.parse_args(argv))
 
 

@@ -177,10 +177,17 @@ def main(args):
     out = svc.generate(sentences=args.sentences, num=args.num_samples,
                        seed=args.seed)
     ensure_exists(args.out_samples)
-    for i, v in enumerate(out):
-        path = f"{args.out_samples}/serve_{i}.png"
-        save_frames(v[None], path)      # uint8 passes through to_grid
-        status(f"wrote {path}")
+    if args.format == "png":
+        for i, v in enumerate(out):
+            path = f"{args.out_samples}/serve_{i}.png"
+            save_frames(v[None], path)      # uint8 passes through to_grid
+            status(f"wrote {path}")
+    else:
+        from txt2vid_tpu.utils.video import save_video_batch
+        for path in save_video_batch(
+                out, f"{args.out_samples}/serve_{{i}}.{args.format}",
+                fps=args.fps):
+            status(f"wrote {path}")
 
 
 def cli(argv=None):
@@ -204,6 +211,12 @@ def cli(argv=None):
                         "instead of the live params (gan/ema.py)")
     p.add_argument("--bench", type=int, default=0,
                    help="measure throughput over N videos, print one JSON line")
+    p.add_argument("--format", default="png",
+                   choices=["png", "gif", "avi", "mp4", "webm"],
+                   help="png = one grid image per sample; video formats = one "
+                        "playable clip per sample (utils/video.py)")
+    p.add_argument("--fps", type=int, default=8,
+                   help="frame rate for video-format export")
     p.add_argument("--out_samples", default="out_samples")
     p.add_argument("--seed", type=int, default=0)
     main(p.parse_args(argv))
