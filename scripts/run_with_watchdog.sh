@@ -8,9 +8,22 @@
 #
 # Usage: run_with_watchdog.sh LOGFILE STALL_SECS TIMEOUT_SECS -- cmd args...
 # Exit code: the command's, or 124 on total-timeout, or 125 on stall-kill.
+#
+# Two-phase stall window: STALL_SECS must be generous enough to survive a
+# cold flagship compile (13-15 min with an empty persistent cache), but a
+# transport wedge during STEADY-STATE training then costs the same 25 min
+# before the kill fires (observed: the iter-5000 wedge on the sixth fresh
+# host sat futex-blocked from 06:46 to the 07:11 kill). Once the log
+# contains a trainer step line ("sec/iter" — only emitted after the step is
+# compiled and running), the longest legitimate silence is a first-time
+# sampler compile (~2.5 min), so the window tightens to
+# ACTIVE_STALL (default 600 s, env-overridable; never above STALL_SECS).
+# Logs without step lines (eval sweeps, probes) keep the full window.
 set -u
 LOG="$1"; STALL="$2"; TOTAL="$3"; shift 3
 [ "$1" = "--" ] && shift
+ACTIVE_STALL=${ACTIVE_STALL:-600}
+[ "$ACTIVE_STALL" -gt "$STALL" ] && ACTIVE_STALL=$STALL
 
 # Preserve the previous attempt's log instead of truncating it: retry loops
 # reuse the same LOG path, and a truncated log destroys the crash traceback
@@ -38,8 +51,12 @@ while kill -0 "$PID" 2>/dev/null; do
   if [ -f "$LOG" ]; then
     MTIME=$(stat -c %Y "$LOG")
     AGE=$((NOW - MTIME))
-    if [ "$AGE" -ge "$STALL" ]; then
-      echo "watchdog: log silent ${AGE}s (>= ${STALL}) — killing $PID" >&2
+    WINDOW=$STALL
+    if grep -q "sec/iter" "$LOG" 2>/dev/null; then
+      WINDOW=$ACTIVE_STALL
+    fi
+    if [ "$AGE" -ge "$WINDOW" ]; then
+      echo "watchdog: log silent ${AGE}s (>= ${WINDOW}) — killing $PID" >&2
       echo stalled > "$STATUS_FILE"
       kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null
       break
