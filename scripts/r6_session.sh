@@ -20,8 +20,15 @@ set -x
 cd "$(dirname "$0")/.."
 WD=scripts/run_with_watchdog.sh
 
-HARD_END=${HARD_END:-$(date -d '2026-08-20 10:40 UTC' +%s)}
+# Default the budget RELATIVE to now (~55 min): a hardcoded absolute default
+# goes stale the moment the session it was written for ends, silently zeroing
+# the training budget on the next invocation (ADVICE r3).
+HARD_END=${HARD_END:-$(( $(date +%s) + 3300 ))}
 left() { echo $(( HARD_END - $(date +%s) )); }
+if [ "$(left)" -le 0 ]; then
+  echo "HARD_END is in the past (left=$(left)s) — refusing to run a zero-budget chain" >&2
+  exit 1
+fi
 
 wait_for_tpu() {
   for i in $(seq 1 6); do
@@ -51,8 +58,11 @@ else
   REGEN_PID=
 fi
 
+# bench stdout (the JSON line) must stay separate from stderr (JAX/compile
+# warnings would corrupt the JSON under the watchdog's 2>&1 merge — ADVICE r3),
+# so run it under timeout directly like r5_chain.sh does.
 wait_for_tpu || exit 1
-$WD /tmp/r6_bench_warm1.json 900 1200 -- python bench.py
+timeout 1200 python bench.py > /tmp/r6_bench_warm1.json 2> /tmp/r6_bench_warm1.log
 cat /tmp/r6_bench_warm1.json
 
 if [ -n "$REGEN_PID" ]; then
@@ -83,9 +93,16 @@ latest_iter() {
     | sed 's/.*iter_\([0-9]*\)_.*/\1/' | sort -n | tail -1
 }
 
+# Seed management: a NAN_ABORT rollback replayed with the SAME seed is a
+# deterministic replay of the same NaN (train/gan.py --resume docs); bump the
+# seed per rollback so each retry explores a fresh trajectory (ADVICE r3).
+SEED=${SEED:-7}
 for attempt in $(seq 1 8); do
   LEFT=$(( $(left) - RESERVE ))
-  [ "$LEFT" -lt 240 ] && { echo "train budget exhausted"; break; }
+  # Chunk floor at cold-compile cost: every resume chunk pays ~5-10 min of
+  # compile on this transport (RESULTS.md r5); a sub-compile chunk is killed
+  # mid-compile and banks nothing (ADVICE r3).
+  [ "$LEFT" -lt 600 ] && { echo "train budget exhausted (left=$LEFT < compile floor)"; break; }
   IT=$(latest_iter); IT=${IT:-0}
   [ "$IT" -ge "$TARGET_ITER" ] && { echo "target iter $TARGET_ITER reached"; break; }
   CHUNK=$(( LEFT < 1800 ? LEFT : 1800 ))
@@ -105,12 +122,15 @@ for attempt in $(seq 1 8); do
       --D_loss txt2vid_tpu.gan.losses.RSGANLoss --gp_lambda 0.5 \
       --G_lr 0.0002 --D_lr 0.0002 --G_beta2 0.999 --D_beta2 0.999 \
       --bf16 --bf16_nu --g_ema 0.999 \
-      --batch_size 40 --epochs 60 --seed 7 "${WARM[@]}" \
+      --batch_size 40 --epochs 60 --seed "$SEED" "${WARM[@]}" \
       --log_period 100 --save_model_period 1000 --save_example_period 4000 \
       --workers 2 \
       --out "$OUT" --out_samples "$OUT/samples"
   RC=$?
-  [ $RC -eq 42 ] && echo "r6 ema64 attempt $attempt NAN_ABORT; resuming from rollback"
+  if [ $RC -eq 42 ]; then
+    SEED=$(( SEED + 1 ))
+    echo "r6 ema64 attempt $attempt NAN_ABORT; resuming from rollback with fresh seed $SEED"
+  fi
 done
 echo R6_EMA64_DONE iter=$(latest_iter) left=$(left)
 
