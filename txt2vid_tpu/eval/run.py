@@ -107,6 +107,13 @@ def main(args):
         feature_fn = lambda v: discrim_features(gan, state, v,
                                                 batch_size=args.batch_size)
     report = sample_fidelity_report(real, fake, feature_fn=feature_fn)
+    # headline fidelity metric: FID in the FROZEN classifier feature space
+    # (eval/classifier.py) — comparable across runs and configs, unlike the
+    # run-relative discriminator FID or the noise-floor random-conv proxy
+    from txt2vid_tpu.eval.classifier import classifier_fid, load_frozen
+    if load_frozen() is not None:
+        report["fid_cls"] = classifier_fid(real, fake,
+                                           batch_size=args.batch_size)
     print(json.dumps(report))
     return report
 

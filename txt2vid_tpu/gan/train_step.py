@@ -165,9 +165,15 @@ def _norm_and_clip(grads, clip):
     Flagship production therefore runs clip-free and relies on the host-side
     spike protection instead (trainer.NanAbort: poisoned states are never
     checkpointed, the harness rolls back and reseeds — scripts/r3_queue18.sh).
-    --clip_grad remains correct and tested on every other shape and backend."""
+    --clip_grad remains correct and tested on every other shape and backend.
+
+    TXT2VID_CLIP_NO_BARRIER=1 removes the barrier — FOR THE STANDALONE
+    MISCOMPILE REPRODUCER ONLY (scripts/repro_clip_miscompile.py needs the
+    known-bad fused program as its positive control). Never set in training."""
+    import os
     if clip:
-        grads = jax.lax.optimization_barrier(grads)
+        if os.environ.get("TXT2VID_CLIP_NO_BARRIER", "0") != "1":
+            grads = jax.lax.optimization_barrier(grads)
     norm = optax.global_norm(grads)
     if clip:
         grads = _clip_by_norm(grads, norm, clip)
