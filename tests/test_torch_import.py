@@ -314,6 +314,56 @@ class TestConverterLevel:
         _assert_close(np.asarray(y).transpose(0, 4, 1, 2, 3), y_ref, 3e-3,
                       "imported tgan gen")
 
+    def test_multiscale_gen_no_lstm(self):
+        """no_lstm (FrameSeedGenerator temporal core, reference tganv2/gen.py:40-43)
+        checkpoints convert through multiscale_gen_vars. Forward parity is asserted
+        against the reference with its seed-output view corrected to the intended
+        permute: the reference reinterprets the (B, fm_size, 16) deconv output with
+        a raw `.view(B, 16, -1, h, w)` (gen.py:73-74), which mixes the time axis
+        into channels — its "16 frame seeds" are not per-frame. Documented
+        reference bug (converter docstring); ours implements seed t == frame t."""
+        import torch.nn.parallel as tnp
+
+        from txt2vid.models.tganv2.gen import MultiScaleGen as Ref
+        from txt2vid_tpu.compat.torch_import import multiscale_gen_vars
+        from txt2vid_tpu.models.tganv2 import MultiScaleGen
+
+        orig_dp = tnp.data_parallel
+        tnp.data_parallel = lambda module, inputs, *a, **k: module(inputs)
+        try:
+            torch.manual_seed(57)
+            ref = Ref(latent_size=LATENT, width=64, height=64, num_channels=1,
+                      additional_blocks=[8], fm_channels=1024, num_frames=16,
+                      no_lstm=True)
+            _randomize_bn(ref, seed=58)
+            sd = _sd(ref)  # grab weights BEFORE patching the seed stack
+            ref.eval()
+
+            # intended-semantics reference: raw-memory order (c, t) -> (t, c), so
+            # the forward's subsequent raw view splits frames, not a scramble
+            fsgen = ref._modules.pop("frame_seed_gen")
+            ref.frame_seed_gen = \
+                lambda x: fsgen(x).permute(0, 2, 1).contiguous()
+
+            rng = np.random.default_rng(59)
+            z = rng.standard_normal((2, LATENT)).astype(np.float32)
+            with torch.no_grad():
+                y_ref = ref(torch.tensor(z))
+            assert len(y_ref) == 1  # eval mode: final scale only
+
+            m = MultiScaleGen(latent_size=LATENT, width=64, height=64,
+                              num_channels=1, additional_blocks=(8,),
+                              fm_channels=1024, num_frames=16, no_lstm=True,
+                              use_pallas=False)
+            var = multiscale_gen_vars(sd)
+            assert "frame_seed_gen" in var["params"] \
+                and "clstm" not in var["params"]
+            y = m.apply(var, jnp.asarray(z), train=False)
+            _assert_close(np.asarray(y[0]).transpose(0, 4, 1, 2, 3), y_ref[0],
+                          3e-3, "imported no_lstm multiscale gen")
+        finally:
+            tnp.data_parallel = orig_dp
+
     def test_img_pair(self):
         from txt2vid.models.img.models import Discrim as RefD
         from txt2vid.models.img.models import Gen as RefG

@@ -209,15 +209,28 @@ def multiscale_gen_vars(sd, fm_hw=None):
     {"params", "batch_stats"} for txt2vid_tpu.models.tganv2(.cond).MultiScaleGen.
 
     `fm_hw`: (fm_h, fm_w) of the latent plane when it is larger than 1x1 and
-    non-square; inferred as square otherwise. The no_lstm/FrameSeedGenerator
-    variant is not supported (no recorded reference run used it)."""
+    non-square; inferred as square otherwise.
+
+    no_lstm checkpoints (FrameSeedGenerator temporal core, reference
+    tganv2/gen.py:40-43) convert too: the seed stack's deconv/BN weights map
+    leaf-for-leaf. Note the reference's forward reinterprets the seed output
+    (B, fm_size, 16) with a raw `.view(B, 16, -1, h, w)` (gen.py:73-74) — a
+    layout scramble that mixes the time axis into channels, so its "16 frame
+    seeds" are not actually per-frame. Our no_lstm path implements the intended
+    semantics (seed t is frame t); the parity test asserts equality against the
+    reference with that view corrected to a permute (documented reference bug,
+    SURVEY.md §7 policy: document, don't replicate)."""
     sd = strip_data_parallel(sd)
-    if any(k.startswith("frame_seed_gen.") for k in sd):
-        raise NotImplementedError("no_lstm reference checkpoints are not supported")
+    no_lstm = any(k.startswith("frame_seed_gen.") for k in sd)
 
     # latent-plane geometry from the weights themselves: fm_channels is the
-    # ConvLSTM hidden width; fm_h*fm_w = fc rows / fm_channels
-    fm_c = _get(sd, "clstm.cell0.Wxi.weight").shape[0]
+    # ConvLSTM hidden width (or, for no_lstm, the BaseFrameGen pre-act BN width,
+    # since the seed stack's fm_size folds the plane in); fm_h*fm_w = fc rows /
+    # fm_channels
+    if no_lstm:
+        fm_c = _get(sd, "abstract_blocks.0.up0.main.inner_module.0.weight").shape[0]
+    else:
+        fm_c = _get(sd, "clstm.cell0.Wxi.weight").shape[0]
     fc_rows = _get(sd, "fc.weight").shape[0]
     plane = fc_rows // fm_c
     if fm_hw is not None:
@@ -227,11 +240,26 @@ def multiscale_gen_vars(sd, fm_hw=None):
     assert fm_h * fm_w == plane, \
         f"latent plane {plane} != {fm_h}x{fm_w}; pass fm_hw=(h, w)"
 
-    perm = _fc_perm(fm_c, fm_h, fm_w)
-    fc = sd_dense(sd, "fc")
-    params = {"fc": {"kernel": fc["kernel"][:, perm], "bias": fc["bias"][perm]},
-              "clstm": sd_convlstm(sd, "clstm")}
     stats = {}
+    if no_lstm:
+        # fc feeds the seed stack as a flat vector (no plane view before the 1D
+        # deconvs), so fc rows keep the reference order; the (C, h, w)-major vs
+        # (h, w, C)-minor plane split happens on the SEED output instead, so the
+        # permutation lands on dc4's output rows (identity at the 1x1 plane of
+        # 64px configs).
+        params = {"fc": sd_dense(sd, "fc")}
+        fs_p, fs_s = _fsgen_vars(sd, "frame_seed_gen")
+        if fm_h * fm_w > 1:
+            perm = _fc_perm(fm_c, fm_h, fm_w)
+            fs_p["dc4"] = {"kernel": fs_p["dc4"]["kernel"][..., perm],
+                           "bias": fs_p["dc4"]["bias"][perm]}
+        params["frame_seed_gen"] = fs_p
+        stats["frame_seed_gen"] = fs_s
+    else:
+        perm = _fc_perm(fm_c, fm_h, fm_w)
+        fc = sd_dense(sd, "fc")
+        params = {"fc": {"kernel": fc["kernel"][:, perm], "bias": fc["bias"][perm]},
+                  "clstm": sd_convlstm(sd, "clstm")}
 
     # abstract_blocks.0 is BaseFrameGen (up0/up1/up2); the rest are UpBlocks
     params["base"], stats["base"] = {}, {}
