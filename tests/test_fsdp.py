@@ -100,6 +100,40 @@ class TestFsdpStep:
         # several >=4096-element leaves in this tiny config
         assert sharded >= 5, f"only {sharded} leaves sharded"
 
+    def test_no_involuntary_remat(self):
+        """GSPMD must not fall back to replicate-then-repartition resharding in
+        the fsdp backward (spmd_partitioner.cc:652 'Involuntary full
+        rematerialization', XLA b/433785288): before the explicit
+        weights-at-use gather schedule (_fsdp_gather_step), the discriminator
+        stem conv kernel got two different propagated shardings in the D
+        backward — wasted ICI bandwidth and HBM on every step
+        (MULTICHIP_r03.json tail). The warning is C++-side stderr, so capture
+        fd 2 around the compile."""
+        import os
+        import tempfile
+
+        state0, step_fn, batch = _tiny_setup()
+        # the dryrun's mesh shape (dp x sp x fsdp) — the configuration that
+        # produced the r3 warnings
+        mesh = make_mesh(n_devices=8, sp=2, fsdp=2)
+        ss = state_sharding(state0, mesh)
+        step = jit_train_step_sharded(step_fn, mesh, state_shardings=ss)
+        st = shard_train_state(state0, mesh)
+        sb = shard_batch(batch, mesh)
+
+        with tempfile.TemporaryFile() as f:
+            old = os.dup(2)
+            os.dup2(f.fileno(), 2)
+            try:
+                compiled = step.lower(st, sb, jax.random.key(7)).compile()
+            finally:
+                os.dup2(old, 2)
+                os.close(old)
+            f.seek(0)
+            err = f.read().decode(errors="replace")
+        assert "Involuntary full rematerialization" not in err, err[-2000:]
+        assert compiled is not None
+
     def test_fsdp_matches_single_device(self):
         state0, step_fn, batch = _tiny_setup()
 

@@ -182,6 +182,12 @@ def jit_device_data_step(train_step, data: DeviceVideoData, mesh,
 
     rep = replicated(mesh)
     ss = rep if state_shardings is None else state_shardings
+    if state_shardings is not None:
+        # explicit ZeRO-3 schedule (parallel/mesh._fsdp_gather_step): gather
+        # weights at use, avoid GSPMD's involuntary-remat resharding in the
+        # conv backward
+        from txt2vid_tpu.parallel.mesh import _fsdp_gather_step
+        train_step = _fsdp_gather_step(train_step, state_shardings, mesh)
     bs = batch_sharding(mesh, axis_name)
     arrays = data.device_arrays(mesh)
 

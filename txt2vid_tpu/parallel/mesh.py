@@ -61,10 +61,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding):
+    """device_put that also works in multi-controller (multi-host) runs.
+
+    Single-process: plain device_put. Multi-process: every process holds the
+    SAME host value (replicated leaves, restored checkpoints, full batches in
+    tests) and contributes only its addressable shards via
+    make_array_from_callback — device_put cannot target non-addressable
+    devices. Process-LOCAL batch shards go through
+    make_array_from_process_local_data in prefetch_to_mesh instead."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def put_replicated_key(key, mesh: Mesh):
+    """Place a typed PRNG key replicated onto the (possibly multi-host) mesh."""
+    rep = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(key, rep)
+    kd = _put(jax.random.key_data(key), rep)
+    return jax.random.wrap_key_data(kd, impl=jax.random.key_impl(key))
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
-    """Place a host batch dict onto the mesh, sharded over the batch dim."""
+    """Place a host batch dict onto the mesh, sharded over the batch dim.
+    In multi-host runs the batch passed here must be the GLOBAL batch
+    (identical on every process); per-process local batches go through
+    prefetch_to_mesh."""
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), batch)
 
 
 def _fsdp_spec(shape, fsdp_size: int, min_shard_elems: int = 1024) -> P:
@@ -100,9 +128,10 @@ def state_sharding(state, mesh: Mesh):
 
 def shard_train_state(state, mesh: Mesh):
     """Place a train state onto the mesh: replicated, or fsdp-sharded when the
-    mesh has an fsdp axis."""
+    mesh has an fsdp axis. Works in multi-host runs too (every process holds
+    the same host state, e.g. after a per-process checkpoint restore)."""
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), state, state_sharding(state, mesh))
+        lambda x, s: _put(x, s), state, state_sharding(state, mesh))
 
 
 def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp",
@@ -118,14 +147,28 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp"
     stack > 1 groups `stack` consecutive batches into one leading-axis stack
     (sharded P(None, axis)) for the scanned multi-step train program
     (jit_scanned_train_step_sharded); a trailing partial group is dropped, like
-    a drop-last batch."""
+    a drop-last batch.
+
+    Multi-host: each process feeds its LOCAL slice of the global batch (global
+    batch = per-process batch x process count, concatenated over the data
+    axis); make_array_from_process_local_data assembles the global arrays from
+    the per-process shards without any cross-host copy (SURVEY.md §2.8 DCN row
+    — the data never rides the interconnect, only gradients do)."""
     if stack > 1:
         sh = NamedSharding(mesh, P(None, axis_name))
     else:
         sh = batch_sharding(mesh, axis_name)
 
-    def put(batch):
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() > 1:
+        import numpy as _np
+
+        def put(batch):
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sh, _np.asarray(x)), batch)
+    else:
+        def put(batch):
+            return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
     if transform is not None:
         # per-BATCH transform (e.g. the img_model frame slice) must see plain
@@ -163,6 +206,76 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2, axis_name: str = "dp"
     yield from buf
 
 
+_GATHER_PARAMS = []  # trace-time stack of replicated NamedShardings
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def gather_params_at_use(mesh: Mesh):
+    """Trace-time context (the sequence_parallel pattern): while active, the
+    train step constrains every param tree to REPLICATED at its use sites via
+    maybe_gather_params — including the post-optimizer updated D params the G
+    phase backpropagates through, which a state-boundary constraint cannot
+    reach (the r3 involuntary-remat warnings all sat on rev(add(W, update))
+    in transpose(jvp(MultiScaleDiscrim)))."""
+    _GATHER_PARAMS.append(NamedSharding(mesh, P()))
+    try:
+        yield
+    finally:
+        _GATHER_PARAMS.pop()
+
+
+def maybe_gather_params(tree):
+    """Constrain a param tree replicated when gather_params_at_use is active;
+    identity otherwise. Called from the train step at param-use sites."""
+    if not _GATHER_PARAMS:
+        return tree
+    rep = _GATHER_PARAMS[-1]
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, rep), tree)
+
+
+def _fsdp_gather_step(train_step, state_shardings, mesh: Mesh):
+    """Wrap a train step with the explicit ZeRO-3 schedule for fsdp meshes:
+    model variables (params/BN stats) are constrained to REPLICATED at use —
+    one all-gather per step — and the produced state is constrained back to its
+    canonical fsdp sharding, so only the stored state (params + both optimizer
+    moments at rest) is sharded.
+
+    Why explicit: left to propagation alone, GSPMD picks per-use-site shardings
+    for the same conv kernel in the discriminator backward — the dgrad consumes
+    the weight through a spatial `rev`, and the sharding it infers there
+    disagrees with the weight-grad side — and resolves the conflict with an
+    "Involuntary full rematerialization" (replicate-then-repartition,
+    spmd_partitioner.cc:652, XLA b/433785288): wasted ICI bandwidth and HBM in
+    EVERY backward. Pinning the weights replicated at use makes both backward
+    consumers see one sharding; verified warning-free on the dp2 x sp2 x fsdp2
+    CPU mesh (tests/test_fsdp.py asserts no involuntary remat in the compiled
+    HLO). The transient full gather is the standard ZeRO-3 weights-at-use
+    working set (~0.5 GB at this family's 1e8-param scale)."""
+    rep = NamedSharding(mesh, P())
+
+    def gather(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep), tree)
+
+    def wrapped(state, batch, key):
+        state = state.replace(
+            g_vars=gather(state.g_vars), d_vars=gather(state.d_vars),
+            txt_vars=gather(state.txt_vars), m_vars=gather(state.m_vars))
+        # trace-time: the step also pins its INTERMEDIATE param views (e.g.
+        # the updated D the G phase backpropagates through) replicated
+        with gather_params_at_use(mesh):
+            new_state, metrics = train_step(state, batch, key)
+        new_state = jax.tree.map(
+            jax.lax.with_sharding_constraint, new_state, state_shardings)
+        return new_state, metrics
+
+    return wrapped
+
+
 def jit_scanned_train_step_sharded(train_step, k: int, mesh: Mesh,
                                    axis_name: str = "dp", state_shardings=None):
     """Fuse k train steps into ONE dispatched program via lax.scan over a
@@ -171,6 +284,9 @@ def jit_scanned_train_step_sharded(train_step, k: int, mesh: Mesh,
     single-step program is already device-bound (scripts/profile_step.py).
     Metrics come back stacked with leading dim k, in step order. The step folds
     its own on-device counter, so the constant key keeps full randomness."""
+    if state_shardings is not None:
+        train_step = _fsdp_gather_step(train_step, state_shardings, mesh)
+
     def scanned(state, batches, key):
         def body(s, b):
             return train_step(s, b, key)
@@ -192,6 +308,8 @@ def jit_train_step_sharded(train_step, mesh: Mesh, axis_name: str = "dp",
     gradient reduce-scatters (ZeRO-3 schedule) itself."""
     rep = replicated(mesh)
     ss = rep if state_shardings is None else state_shardings
+    if state_shardings is not None:
+        train_step = _fsdp_gather_step(train_step, state_shardings, mesh)
     bs = batch_sharding(mesh, axis_name)
     return jax.jit(
         train_step,
