@@ -112,6 +112,11 @@ def main():
     #     pinned by tests/test_train_step.py::TestSharedGenFwd). Default ON:
     #     measured +6.6% (32.03 -> 34.14 steps/s, RESULTS.md round 3).
     shared_fwd = os.environ.get("BENCH_SHARED_FWD", "1") != "0"
+    #   BENCH_BF16_PARAMS — f32-master/bf16-compute params (train_step.py
+    #     compute_dtype): one materialized half-width param copy per step,
+    #     every forward/backward reads it, optimizer math stays f32. Default
+    #     OFF until measured on hardware (round-4 byte-lever item).
+    bf16_params = os.environ.get("BENCH_BF16_PARAMS", "0") != "0"
     dtype = jnp.bfloat16 if use_bf16 else None
     vocab_size = 64
     enc = Seq2Seq(vocab_size=vocab_size)
@@ -120,7 +125,8 @@ def main():
     discrim = tganv2_cond.MultiScaleDiscrim(dtype=dtype, remat=remat_d)
     gan = CondGan(gen=gen, discrims=[discrim], cond_encoder=enc)
     cfg = TrainConfig(frame_sizes=FRAME_SIZES, subsample_input=True, latent_size=256,
-                      shared_gen_fwd=shared_fwd)
+                      shared_gen_fwd=shared_fwd,
+                      compute_dtype=jnp.bfloat16 if bf16_params else None)
     mu_dtype = jnp.bfloat16 if use_bf16 else None
     if nu_bf16:
         from txt2vid_tpu.ops.optim import adam_storage
@@ -227,6 +233,7 @@ def main():
         "dtype": "bf16" if use_bf16 else "f32",
         "mfu_vs_bf16_peak": mfu,
         "levers": {"remat_d": remat_d, "remat_g": remat_g, "nu_bf16": nu_bf16,
+                   "bf16_params": bf16_params,
                    "shared_fwd": shared_fwd},
     }))
 

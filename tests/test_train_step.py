@@ -213,6 +213,58 @@ class TestBf16:
         assert params_differ(state.g_vars["params"], s1.g_vars["params"])
 
 
+class TestBf16Params:
+    def test_compute_dtype_copy_matches_per_use_casts(self):
+        """--bf16_params (TrainConfig.compute_dtype): with bf16-compute models,
+        the per-step materialized bf16 param copy must be numerically CLOSE to
+        the default per-use-cast path (same rounding, different traffic), keep
+        stored params f32, and keep gradients/updates finite. The two paths
+        quantize weights identically (astype at use vs astype once), so the
+        losses agree to bf16 resolution."""
+        import jax.numpy as jnp
+        gen = tganv2.MultiScaleGen(latent_size=16, width=16, height=16,
+                                   num_channels=1, fm_channels=16,
+                                   additional_blocks=(8,), num_frames=4,
+                                   use_pallas=False, dtype=jnp.bfloat16)
+        discrim = tganv2.MultiScaleDiscrim(discrim_down_blocks=(1, 1),
+                                           num_channels=1, with_attn=False,
+                                           use_pallas=False,
+                                           dtype=jnp.bfloat16)
+        gan = CondGan(gen=gen, discrims=[discrim])
+        optG, optD = make_opts()
+        rng = np.random.default_rng(4)
+        batch = {"video": jnp.asarray(
+            rng.standard_normal((4, 4, 16, 16, 1)).clip(-1, 1), jnp.float32)}
+
+        results = {}
+        for name, cd in (("per_use", None), ("copy", jnp.bfloat16)):
+            cfg = TrainConfig(frame_sizes=(8, 16), subsample_input=True,
+                              latent_size=16, shared_gen_fwd=True,
+                              compute_dtype=cd)
+            state = init_state(gan, jax.random.key(0), batch, optG, optD, cfg)
+            step = jax.jit(build_train_step(gan, L.RSGANLoss(), optG, optD,
+                                            cfg))
+            s1, m1 = step(state, batch, jax.random.key(1))
+            # stored params stay f32 masters
+            for leaf in jax.tree_util.tree_leaves(s1.g_vars["params"]):
+                assert leaf.dtype == jnp.float32
+            results[name] = (s1, m1)
+
+        (sa, ma), (sb, mb) = results["per_use"], results["copy"]
+        assert float(ma["loss_d"]) == pytest.approx(float(mb["loss_d"]),
+                                                    rel=2e-2)
+        assert float(ma["loss_g"]) == pytest.approx(float(mb["loss_g"]),
+                                                    rel=2e-2)
+        assert np.isfinite(float(mb["grad_norm_d"]))
+        assert np.isfinite(float(mb["grad_norm_g"]))
+        # the lever changed traffic, not math: per-leaf param agreement after
+        # one update stays at bf16-rounding scale
+        for a, b in zip(jax.tree_util.tree_leaves(sa.g_vars["params"]),
+                        jax.tree_util.tree_leaves(sb.g_vars["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=5e-3)
+
+
 class TestMakeFakeConds:
     def test_no_fixed_points_any_batch(self):
         """The mismatched-caption permutation must displace EVERY row for b >= 2,

@@ -94,6 +94,20 @@ class TrainConfig:
     # not (end2end with captions); otherwise the step silently uses the default
     # two-forward path.
     shared_gen_fwd: bool = False
+    # f32-master / bf16-compute parameters (--bf16_params, VERDICT r3 byte-lever
+    # item): materialize ONE half-width copy of each float32 G/D param tree per
+    # step and run every forward/backward from it; the stored params and the
+    # optimizer update stay f32. flax's dtype=bf16 modules cast params at each
+    # USE, so every program that touches a weight re-reads its f32 buffer —
+    # with the D forwarded 4-6x per step (pairings, GP, G phase) that is
+    # N_uses x 4 bytes/param of HBM traffic on a bandwidth-bound step
+    # (RESULTS.md roofline). The explicit once-per-step copy (under an
+    # optimization_barrier so XLA cannot fold it back into per-use casts)
+    # makes the re-reads half-width. Gradients keep f32 dtype (the astype vjp
+    # converts cotangents back); the encoder is deliberately NOT cast (it is
+    # built without a bf16 policy — casting would change its numerics, not
+    # just its bandwidth).
+    compute_dtype: Any = None
 
 
 class GanTrainState(struct.PyTreeNode):
@@ -273,6 +287,25 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         return multiscale_pyramid(x, cond, list(config.frame_sizes), key,
                                   config.subsample_input)
 
+    cdtype = config.compute_dtype
+    from txt2vid_tpu.parallel.mesh import maybe_gather_params as _gather
+
+    def cast_tree(params):
+        """The step's param-use view: (1) under an fsdp mesh's
+        gather_params_at_use trace context (parallel/mesh.py), constrain the
+        tree REPLICATED so every consumer — including the conv backward's
+        rev(W) — sees one sharding (kills GSPMD's involuntary-remat
+        resharding); (2) with TrainConfig.compute_dtype, one materialized
+        half-width copy for all forwards/backwards. Identity when both levers
+        are off."""
+        params = _gather(params)
+        if cdtype is None:
+            return params
+        cast = jax.tree.map(
+            lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x,
+            params)
+        return jax.lax.optimization_barrier(cast)
+
     def train_step(state, batch, key):
         # Per-step key derived ON DEVICE from the step counter: the host loop passes
         # the SAME base key every iteration, so it never dispatches a per-iteration
@@ -308,15 +341,17 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         vjp_fake = fake_scales_live = shared_stats = None
         if shared:
             def gen_fwd(g_params):
-                return gan.generate(_merge_vars(state.g_vars, g_params), z,
+                return gan.generate(_merge_vars(state.g_vars,
+                                                cast_tree(g_params)), z,
                                     cond=cond_const, key=k_gen, train=True,
                                     with_stats=True)
             fake_scales_live, vjp_fake, shared_stats = jax.vjp(
                 gen_fwd, state.g_vars["params"], has_aux=True)
             fake_scales = jax.lax.stop_gradient(fake_scales_live)
         else:
-            fake_scales = gan.generate(state.g_vars, z, cond=cond_const, key=k_gen,
-                                       train=True)
+            fake_scales = gan.generate(
+                _merge_vars(state.g_vars, cast_tree(state.g_vars["params"])),
+                z, cond=cond_const, key=k_gen, train=True)
             fake_scales = jax.lax.stop_gradient(fake_scales)
 
         # trace-time config check: the generator's rendered pyramid must match
@@ -341,9 +376,10 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
         def make_d_loss(gp_lambda, gp_only=False):
             def d_loss_fn(opt_params, dkey):
                 d_vars_list = [
-                    _merge_vars(v, p) for v, p in zip(state.d_vars, opt_params["d"])]
+                    _merge_vars(v, cast_tree(p))
+                    for v, p in zip(state.d_vars, opt_params["d"])]
                 if config.end2end and has_cond:
-                    cond = gan.encode(_merge_vars(state.txt_vars, opt_params["txt"]),
+                    cond = gan.encode(_merge_vars(state.txt_vars, _gather(opt_params["txt"])),
                                       batch["captions"], batch["lengths"])
                     real_scales, cond_scales = scales_for(x, cond, k_pyr)
                 else:
@@ -420,6 +456,12 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
 
         new_d_vars = tuple(
             _merge_vars(v, p) for v, p in zip(state.d_vars, d_opt_params["d"]))
+        # G-phase D consumers (incl. the backward through the updated D) read
+        # the param-use view: compute-dtype copy and/or fsdp gather constraint
+        from txt2vid_tpu.parallel.mesh import _GATHER_PARAMS
+        new_d_vars_use = new_d_vars if (cdtype is None and not _GATHER_PARAMS) \
+            else tuple(_merge_vars(v, cast_tree(v["params"]))
+                       for v in new_d_vars)
         txt_params = d_opt_params.get(
             "txt", None if state.txt_vars is None else state.txt_vars["params"])
 
@@ -444,18 +486,18 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
             else:
                 real_scales_g = real_scales_const
             real_preds_const = jax.lax.stop_gradient(gan.all_discrim_forward(
-                new_d_vars, real_scales=real_scales_g,
+                new_d_vars_use, real_scales=real_scales_g,
                 cond_scales=cond_scales_g, loss=None, key=None,
                 m_vars=state.m_vars, train=True)[2])
 
         def g_loss_fn(opt_params, gkey):
-            g_vars = _merge_vars(state.g_vars, opt_params["g"])
+            g_vars = _merge_vars(state.g_vars, cast_tree(opt_params["g"]))
             if txt_grads_in_g:
-                cond = gan.encode(_merge_vars(state.txt_vars, opt_params["txt"]),
+                cond = gan.encode(_merge_vars(state.txt_vars, _gather(opt_params["txt"])),
                                   batch["captions"], batch["lengths"])
                 real_scales, cond_scales = scales_for(x, cond, k_pyr)
                 real_preds = gan.all_discrim_forward(
-                    new_d_vars, real_scales=real_scales, cond_scales=cond_scales,
+                    new_d_vars_use, real_scales=real_scales, cond_scales=cond_scales,
                     loss=None, key=None, m_vars=state.m_vars, train=True)[2]
                 gen_cond = cond_scales[0] if cond_scales is not None else None
             else:
@@ -465,7 +507,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
 
             fakes, g_stats = gan.generate(g_vars, z, cond=gen_cond, key=gkey,
                                           train=True, with_stats=True)
-            total = gan.gen_loss(new_d_vars, fakes, real_preds,
+            total = gan.gen_loss(new_d_vars_use, fakes, real_preds,
                                  cond_scales=cond_scales, loss=losses,
                                  m_vars=state.m_vars, train=True)
             if config.mean_gen_loss:
@@ -479,7 +521,7 @@ def build_train_step(gan: CondGan, losses, optG, optD, config: TrainConfig):
             # gradient w.r.t. the SAVED fakes, pulled back through the single
             # generator forward's vjp — no second G forward
             def g_loss_from_fakes(fakes):
-                total = gan.gen_loss(new_d_vars, fakes, real_preds_const,
+                total = gan.gen_loss(new_d_vars_use, fakes, real_preds_const,
                                      cond_scales=cond_scales_g, loss=losses,
                                      m_vars=state.m_vars, train=True)
                 if config.mean_gen_loss:
