@@ -340,6 +340,42 @@ def cifar10_dataset(data=None, vocab=None, anno=None, transform=None, frame_size
     return Cifar10Dataset(data, frame_size=frame_size, num_channels=num_channels)
 
 
+class ShardedView:
+    """Process-local slice of a dataset for multi-host data feeding: local item
+    i is global item i * num_shards + shard (strided so every process sees the
+    same label/length distribution), with the ragged tail dropped so all
+    processes run the same number of batches per epoch (they must stay
+    step-synchronized — a short process would hang the others' collectives).
+    Works for both item-level datasets (__getitem__) and batch-level ones
+    (.get_batch); other attributes delegate to the base dataset."""
+
+    def __init__(self, dataset, shard: int, num_shards: int):
+        assert 0 <= shard < num_shards
+        self.dataset = dataset
+        self.shard = shard
+        self.num_shards = num_shards
+
+    def __len__(self):
+        return len(self.dataset) // self.num_shards
+
+    def _global(self, i):
+        return int(i) * self.num_shards + self.shard
+
+    def __getitem__(self, i):
+        return self.dataset[self._global(i)]
+
+    def __getattr__(self, name):
+        # get_batch must only EXIST when the base dataset has one (get_loader
+        # dispatches BatchLoader on hasattr), so it is provided here, not as a
+        # class method
+        attr = getattr(self.dataset, name)
+        if name == "get_batch":
+            def wrapped(idxs, *a, **kw):
+                return attr(np.asarray([self._global(i) for i in idxs]), *a, **kw)
+            return wrapped
+        return attr
+
+
 def get_loader(dset=None, batch_size=64, val=False, num_workers=4,
                has_captions=False, max_caption_len=32, seed=0, to_device=True):
     if hasattr(dset, "get_batch"):   # batch-level datasets (packed native path)

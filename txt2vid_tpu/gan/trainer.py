@@ -230,11 +230,18 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     (optionally pre-placed on the mesh) is passed to the step UNCHANGED every
     iteration — the step folds in its own step counter, so the hot loop performs
     zero per-iteration host-side key operations."""
+    # Multi-host: every process runs the SAME loop (the metric drain and the
+    # NaN-abort must fire consistently — the step's metrics are replicated, so
+    # every process sees identical values and aborts in lockstep), but only
+    # process 0 owns host-side artifacts: checkpoint writes, the metrics
+    # writer, and sample dumps (train/setup.py is_main_process).
+    is_main = jax.process_index() == 0
+    multihost = jax.process_count() > 1
     ensure_exists(params.out)
     ensure_exists(params.out_samples)
 
     writer = None
-    if getattr(params, "use_writer", False):
+    if getattr(params, "use_writer", False) and is_main:
         from txt2vid_tpu.utils.writer import MetricsWriter
         writer = MetricsWriter(params.out)
 
@@ -276,6 +283,11 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
     else:
         def save_checkpoint(st, path):
             checkpointer.save(st, path)
+    if not is_main:
+        # non-main processes skip the device->host snapshot entirely; state
+        # leaves are replicated (dp/sp meshes), so process 0's copy is complete
+        def save_checkpoint(st, path):  # noqa: F811
+            pass
 
     # Metrics are left on device until a log/save boundary: a host value fetch is a
     # device sync (expensive per-step on remote transports), and the train step must
@@ -486,7 +498,11 @@ def train(gan=None, state=None, train_step=None, num_epoch=None, dataset=None,
                            discrim_loss.get(), gen_loss.get(), gn,
                            avg_iter.get(), avg_data_load.get()))
 
-            if params.save_example_period > 0 and (
+            if multihost and params.save_example_period > 0 and first:
+                status("multihost: in-loop sample dumps disabled (batches are "
+                       "host-sharded); sample offline from checkpoints via "
+                       "txt2vid_tpu.sample")
+            if params.save_example_period > 0 and not multihost and (
                     (first and params.save_initial_examples)
                     or iteration % params.save_example_period < k_step):
                 status(f"saving samples to {params.out_samples} (iteration {iteration})")

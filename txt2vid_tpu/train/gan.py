@@ -17,7 +17,10 @@ import jax
 
 from txt2vid_tpu.utils.cache import setup_compile_cache
 
-setup_compile_cache()  # backend-scoped persistent compile cache (utils/cache.py)
+# Unlike the other entry points, the cache setup is DEFERRED to main():
+# setup_compile_cache touches jax.default_backend(), which initializes the XLA
+# backend — and jax.distributed.initialize (--multihost) must run before any
+# backend touch. main() calls it right after maybe_init_distributed.
 
 import optax
 
@@ -29,12 +32,28 @@ from txt2vid_tpu.gan.train_step import TrainConfig, build_train_step, init_state
 from txt2vid_tpu.gan import trainer
 from txt2vid_tpu.parallel.mesh import make_mesh, jit_train_step_sharded, \
     shard_train_state, shard_batch, prefetch_to_mesh, replicated
-from txt2vid_tpu.train.setup import setup
+from txt2vid_tpu.train.setup import (setup, maybe_init_distributed,
+                                     add_multihost_args, is_main_process)
 from txt2vid_tpu.utils import status, warn, load_pickle, count_params
 from txt2vid_tpu.utils.checkpoint import restore_state
 
 
 def main(args):
+    multihost = maybe_init_distributed(args)  # must precede any backend touch
+    if multihost:
+        if args.test:
+            raise SystemExit("--test sampling is single-process; run it "
+                             "without --multihost on one host")
+        if args.device_data:
+            raise SystemExit("--device_data + --multihost is not supported "
+                             "(the HBM-resident cache is per-process); use "
+                             "the host loader path")
+        if args.fsdp > 1:
+            raise SystemExit("--fsdp + --multihost checkpointing needs a "
+                             "distributed checkpoint format (state shards are "
+                             "not process-addressable); use dp/sp axes across "
+                             "hosts and fsdp only single-host for now")
+    setup_compile_cache()  # after distributed init: touches the backend
     seed, devices = setup(args)
 
     vocab = None
@@ -108,7 +127,18 @@ def main(args):
                          num_channels=args.num_channels,
                          random_frames=args.random_frames,
                          normalize=not args.uint8_input)
-    loader = get_loader(dset=dset, batch_size=args.batch_size, val=args.test,
+    local_bs = args.batch_size
+    if multihost:
+        pc, pi = jax.process_count(), jax.process_index()
+        if args.batch_size % pc:
+            raise SystemExit(f"--batch_size {args.batch_size} must divide by "
+                             f"the {pc} processes")
+        local_bs = args.batch_size // pc
+        from txt2vid_tpu.data import ShardedView
+        dset = ShardedView(dset, pi, pc)
+        status(f"multihost data: process {pi} feeds {len(dset)} items, "
+               f"{local_bs}/{args.batch_size} of each global batch")
+    loader = get_loader(dset=dset, batch_size=local_bs, val=args.test,
                         num_workers=args.workers,
                         has_captions=args.anno is not None, seed=seed,
                         to_device=False)
@@ -143,6 +173,8 @@ def main(args):
         latent_size=gan.gen.latent_size,
         shared_gen_fwd=args.shared_gen_fwd,
         clip_grad=args.clip_grad or 0.0,
+        compute_dtype=jnp.bfloat16 if getattr(args, "bf16_params", False)
+        else None,
     )
 
     # initialize from a representative batch
@@ -287,7 +319,8 @@ def main(args):
     else:
         # base key placed on the mesh ONCE; the compiled step folds in its own
         # step counter, so the hot loop does no per-iteration key work at all
-        base_key = jax.device_put(jax.random.key(seed), replicated(mesh))
+        from txt2vid_tpu.parallel.mesh import put_replicated_key
+        base_key = put_replicated_key(jax.random.key(seed), mesh)
         try:
             trainer.train(gan=gan, state=state, train_step=jitted,
                           num_epoch=args.epochs, dataset=LoaderAdapter(),
@@ -306,6 +339,7 @@ def main(args):
 def build_parser():
     parser = argparse.ArgumentParser()
     trainer.add_params_to_parser(parser)
+    add_multihost_args(parser)
     parser.add_argument('--test', action='store_true')
     parser.add_argument('--num_samples', type=int, default=1)
     parser.add_argument('--seed', type=int, default=None)
@@ -372,6 +406,11 @@ def build_parser():
                              '(HBM byte lever; update math stays f32)')
     parser.add_argument('--bf16', action='store_true', default=False,
                         help='bfloat16 compute dtype for G/D (params stay f32)')
+    parser.add_argument('--bf16_params', action='store_true', default=False,
+                        help='materialize one bf16 copy of the G/D params per '
+                             'step and run all forwards/backwards from it '
+                             '(HBM byte lever; stored params and update math '
+                             'stay f32 — see TrainConfig.compute_dtype)')
     parser.add_argument('--shared_gen_fwd', action='store_true', default=False,
                         help='compute the generator forward once per step and '
                              'reuse it for both phases via jax.vjp (byte/FLOP '
