@@ -51,6 +51,37 @@ def tiny_videos(tmp_path_factory):
     return root
 
 
+class TestShardedView:
+    def test_strided_split_item_level(self):
+        from txt2vid_tpu.data import ShardedView
+
+        base = list(range(10))
+        v0 = ShardedView(base, 0, 2)
+        v1 = ShardedView(base, 1, 2)
+        assert len(v0) == len(v1) == 5
+        assert [v0[i] for i in range(5)] == [0, 2, 4, 6, 8]
+        assert [v1[i] for i in range(5)] == [1, 3, 5, 7, 9]
+        # item-level base: get_batch must NOT exist (get_loader dispatches
+        # BatchLoader on hasattr)
+        assert not hasattr(v0, "get_batch")
+
+    def test_batch_level_index_translation(self):
+        import numpy as np
+
+        from txt2vid_tpu.data import ShardedView
+
+        class Base:
+            def __len__(self):
+                return 8
+
+            def get_batch(self, idxs, cap=32):
+                return {"idxs": np.asarray(idxs), "cap": cap}
+
+        v = ShardedView(Base(), 1, 2)
+        out = v.get_batch([0, 2], 16)
+        assert out["idxs"].tolist() == [1, 5] and out["cap"] == 16
+
+
 class TestMultihost:
     def test_two_process_cpu_training(self, tiny_videos, tmp_path):
         port = _free_port()
