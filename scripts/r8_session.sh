@@ -12,7 +12,13 @@
 # 250-iter trail (the full r5_chain mitigation stack) stays armed in case
 # the half-width D backward finds a new basin at this shape.
 #
-# Usage: HARD_END=<epoch> bash scripts/r8_session.sh
+# MEASURED OUTCOME (this session): the bf16 stack does NOT transfer to this
+# shape — attempts at seeds 101/102/103 all hit the windowed NaN-abort within
+# the first iterations (structural, not stochastic; consistent with the
+# round-3 forensics that the 3-scale cond-128 D backward is numerically
+# fragile on this backend). BF16=0 relaunches with the f32 proven config.
+#
+# Usage: HARD_END=<epoch> [BF16=0] bash scripts/r8_session.sh
 set -x
 cd "$(dirname "$0")/.."
 WD=scripts/run_with_watchdog.sh
@@ -42,7 +48,7 @@ GC3='{"class": "txt2vid_tpu.models.tganv2_cond.MultiScaleGen", "args": {"num_cha
 DC3='{"class": "txt2vid_tpu.models.tganv2_cond.MultiScaleDiscrim", "args": {"num_channels": 1, "cond_head": "proj", "discrim_down_blocks": [4, 4, 4]}}'
 DATA='{"class": "txt2vid_tpu.data.packed.packed_dataset", "args": {"data": "synthetic_128x8/videos.t2vc", "num_frames": 32}}'
 
-OUT=out/r4_cond128_bf16
+OUT=${OUT:-out/r4_cond128_bf16}
 TARGET_ITER=${TARGET_ITER:-28000}
 RESERVE=${RESERVE:-1800}   # alignment sweep at the end
 mkdir -p "$OUT"
@@ -54,6 +60,10 @@ latest_iter() {
   ls -d "$OUT"/iter_* 2>/dev/null | grep -v '\.ema$' \
     | sed 's/.*iter_\([0-9]*\)_.*/\1/' | sort -n | tail -1
 }
+
+BF16=${BF16:-1}
+DTYPE_FLAGS=()
+[ "$BF16" != "0" ] && DTYPE_FLAGS=(--bf16 --bf16_nu --bf16_params)
 
 SEED=${SEED:-101}
 for attempt in $(seq 1 20); do
@@ -78,7 +88,7 @@ for attempt in $(seq 1 20); do
       --gp_every 4 \
       --G_lr 0.0002 --D_lr 0.0001 --G_beta2 0.999 --D_beta2 0.999 \
       --clip_grad 100 --clip_grad_split \
-      --bf16 --bf16_nu --bf16_params \
+      "${DTYPE_FLAGS[@]}" \
       --g_ema 0.999 \
       --batch_size 32 --epochs 160 --seed "$SEED" "${WARM[@]}" \
       --log_period 50 --save_model_period 250 --save_example_period 2000 \
