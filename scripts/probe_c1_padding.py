@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, T, H, W = 32, 32, 128, 128
+B, T, H, W = 8, 32, 128, 128
 DTYPE = jnp.float32
 
 
