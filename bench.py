@@ -118,8 +118,12 @@ def main():
     #     ON: measured +31.6% on hardware (34.70 -> 45.67 steps/s, round 4) —
     #     the single biggest byte lever; numerics identical to the proven
     #     per-use-cast bf16 path (tests/test_train_step.py::
-    #     test_compute_dtype_copy_matches_per_use_casts).
-    bf16_params = os.environ.get("BENCH_BF16_PARAMS", "1") != "0"
+    #     test_compute_dtype_copy_matches_per_use_casts). Defaults ON only
+    #     when the bf16 arm is on: with BENCH_BF16=0 this must stay off or
+    #     the "f32 path" bench silently runs an f32-model/bf16-compute
+    #     hybrid and corrupts f32-baseline comparisons across rounds.
+    bf16_params = os.environ.get(
+        "BENCH_BF16_PARAMS", "1" if use_bf16 else "0") != "0"
     dtype = jnp.bfloat16 if use_bf16 else None
     vocab_size = 64
     enc = Seq2Seq(vocab_size=vocab_size)

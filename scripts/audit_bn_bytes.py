@@ -63,7 +63,7 @@ def main():
     print(f"params bytes:                   {params:,}")
     print(f"per-step HBM traffic (bf16):    {step_traffic:,.0f}")
     # the lever halves BN-stat read+write traffic once per step (f32->bf16)
-    savings = bn / 2 * 2  # read + write, half-width each
+    savings = bn / 2 + bn / 2  # f32->bf16 saves bn/2 on the read + bn/2 on the write
     print(f"bf16-BN-stats ceiling saving:   {savings:,} bytes/step "
           f"= {savings / step_traffic * 100:.5f}% of step traffic")
 

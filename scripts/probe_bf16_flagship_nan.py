@@ -17,6 +17,12 @@ backend at a reduced batch and prints finiteness per metric, for a ladder of
 arms. CPU-reproducing NaN => (a); CPU-clean => evidence for (b) at flagship
 batch (run with --batch 32 to tighten).
 
+Caveat: the probe builds the FUSED step with gp_every=1, while the flagship
+runs --clip_grad_split with --gp_every 4 — a CPU-clean result excludes the
+algorithmic hypothesis for the fused composition only; the exact flagship
+(split-dispatch) composition could still differ, so interpret a clean ladder
+as strong-but-not-total evidence for (b).
+
     JAX_PLATFORMS=cpu python scripts/probe_bf16_flagship_nan.py --batch 4
 """
 
@@ -100,7 +106,8 @@ def main():
     p.add_argument("--px", type=int, default=128)
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--arm", default=None,
-                   help="run one arm only: bf16_full|f32|bf16_nogp|bf16_noclip")
+                   help="run one arm only: "
+                        "bf16_full|bf16_noclip|bf16_nogp|bf16_nocast|f32")
     args = p.parse_args()
 
     arms = {

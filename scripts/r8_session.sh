@@ -61,7 +61,11 @@ latest_iter() {
     | sed 's/.*iter_\([0-9]*\)_.*/\1/' | sort -n | tail -1
 }
 
-BF16=${BF16:-1}
+# Default OFF: the bf16 stack NaN-aborts structurally at the cond-128 shape
+# (3 seeds, step ~0 — RESULTS.md round 7); a default-on invocation would burn
+# the session on 13-15 min flagship compiles per retry. Opt in with BF16=1
+# only after scripts/probe_bf16_flagship_nan.py attributes the NaN.
+BF16=${BF16:-0}
 DTYPE_FLAGS=()
 [ "$BF16" != "0" ] && DTYPE_FLAGS=(--bf16 --bf16_nu --bf16_params)
 
