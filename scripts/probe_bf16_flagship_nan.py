@@ -38,6 +38,12 @@ import numpy as np
 def run_arm(name, batch, use_bf16, bf16_params, gp_lambda, clip_grad,
             frames=32, px=128, seed=0):
     import jax
+    # the baked axon sitecustomize force-registers the TPU plugin and
+    # overrides JAX_PLATFORMS (see __graft_entry__.dryrun_multichip) — an env
+    # prefix is silently clobbered, and one run of this CPU probe was sent to
+    # the TPU remote compiler and OOM-killed (2026-08-20). Pin via config.
+    if os.environ.get("TXT2VID_PROBE_PLATFORM", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -101,6 +107,12 @@ def run_arm(name, batch, use_bf16, bf16_params, gp_lambda, clip_grad,
 
 
 def main():
+    # This is a CPU forensic probe: force the platform BEFORE jax import.
+    # (The login profile exports JAX_PLATFORMS=axon; relying on an inline
+    # env prefix sent one run of this probe to the TPU remote compiler,
+    # where the batch-4 cond-128 program was OOM-killed — 2026-08-20.)
+    os.environ["JAX_PLATFORMS"] = os.environ.get(
+        "TXT2VID_PROBE_PLATFORM", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--px", type=int, default=128)

@@ -8,6 +8,7 @@ head, and a StackGAN++-style conditional head over [features ‖ cond]. Returns
 `computed_features` (resnet3d.py:38-57).
 """
 
+import os
 from typing import Any
 
 import numpy as np
@@ -17,6 +18,72 @@ from jax import lax
 
 from txt2vid_tpu.models.layers import DownBlock, Attention3d
 from txt2vid_tpu.ops.initializers import make_kernel_init, RESIDUAL_GAIN
+
+
+class _C1Conv3d(nn.Module):
+    """C_in=1 3D conv computed without im2col lane padding.
+
+    The as-written C_in=1 stem conv moves ~350x its input bytes on TPU: XLA's
+    conv lowering pads every im2col patch column to a full lane tile, so 7/8+
+    of the stem's HBM traffic is zeros (measured: 12.8 ms / 5.92 GB at the
+    flagship stem shape, docs/r4/r8_c1_padding_probe.log). This module holds
+    the IDENTICAL parameters an `nn.Conv(features, (kd,kh,kw))` of a
+    1-channel input would (kernel (kd,kh,kw,1,C), bias (C,): checkpoints and
+    torch imports interop bit-for-bit) and computes the identical function as
+
+      einsum — stack the kd*kh*kw shifted taps into a (..., K) patch tensor
+               and contract with the (K, C) reshaped kernel on the MXU; or
+      shift  — accumulate the taps as lane-friendly elementwise
+               multiply-adds on the VPU (XLA loop-fuses all K taps).
+
+    Both differ from the conv only in fp summation order. Selection via
+    `impl` ("einsum" | "shift" | "conv"; "conv" falls back to lax conv).
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3, 3)
+    kernel_init: Any = nn.initializers.lecun_normal()
+    impl: str = "einsum"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            self.kernel_size + (1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if self.impl == "conv" or x.shape[-1] != 1:
+            y = lax.conv_general_dilated(
+                x, kernel, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return y + bias
+        B, T, H, W = x.shape[:4]
+        xp = jnp.pad(x[..., 0], ((0, 0), (kd // 2, kd - 1 - kd // 2),
+                                 (kh // 2, kh - 1 - kh // 2),
+                                 (kw // 2, kw - 1 - kw // 2)))
+        taps = [xp[:, dt:dt + T, dy:dy + H, dx:dx + W]
+                for dt in range(kd) for dy in range(kh) for dx in range(kw)]
+        kf = kernel.reshape(kd * kh * kw, self.features)
+        if self.impl == "einsum":
+            patches = jnp.stack(taps, axis=-1)
+            y = jnp.einsum("bthwk,kc->bthwc", patches, kf,
+                           preferred_element_type=x.dtype)
+        else:
+            y = taps[0][..., None] * kf[0]
+            for i in range(1, len(taps)):
+                y = y + taps[i][..., None] * kf[i]
+        return y + bias
+
+
+def _resolve_stem_impl(impl: str) -> str:
+    """"auto" -> the measured winner, overridable per-process for forensics
+    (the flagship D-backward's finiteness has flipped with program composition
+    before — gan/train_step.py notes — so a no-code-change fallback matters)."""
+    impl = os.environ.get("TXT2VID_STEM_IMPL", impl)
+    return "einsum" if impl == "auto" else impl
 
 
 def _avg_pool_122_s2(x):
@@ -47,6 +114,11 @@ class Resnet3D(nn.Module):
     cond_head: str = "concat"
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    # Stem implementation for 1-channel inputs ("auto" | "einsum" | "shift" |
+    # "conv"): parameter layout is identical across choices (see _C1Conv3d),
+    # only the compute formulation differs. Multi-channel inputs always take
+    # the conv path.
+    stem_impl: str = "auto"
     dtype: Any = None
 
     @nn.compact
@@ -58,16 +130,29 @@ class Resnet3D(nn.Module):
         if computed_features is not None:
             feats = computed_features
         else:
-            # stem residual block
-            h = nn.Conv(self.mid_ch, (3, 3, 3), kernel_init=ki_res,
-                        dtype=self.dtype, name="stem_conv1")(x)
+            # stem residual block. For C=1 inputs the first conv and the skip
+            # conv use the padding-free formulation (_C1Conv3d) — identical
+            # params and math, ~4x less HBM traffic at the flagship shape.
+            stem_impl = _resolve_stem_impl(self.stem_impl)
+            if x.shape[-1] == 1 and stem_impl != "conv":
+                h = _C1Conv3d(self.mid_ch, (3, 3, 3), kernel_init=ki_res,
+                              impl=stem_impl, dtype=self.dtype,
+                              name="stem_conv1")(x)
+            else:
+                h = nn.Conv(self.mid_ch, (3, 3, 3), kernel_init=ki_res,
+                            dtype=self.dtype, name="stem_conv1")(x)
             h = nn.relu(h)
             h = nn.Conv(self.mid_ch, (3, 3, 3), kernel_init=ki_res,
                         dtype=self.dtype, name="stem_conv2")(h)
             h = _avg_pool_122_s2(h)
             identity = _avg_pool_122_s2(x)
-            identity = nn.Conv(self.mid_ch, (1, 1, 1), kernel_init=ki,
-                               dtype=self.dtype, name="stem_skip")(identity)
+            if x.shape[-1] == 1 and stem_impl != "conv":
+                identity = _C1Conv3d(self.mid_ch, (1, 1, 1), kernel_init=ki,
+                                     impl=stem_impl, dtype=self.dtype,
+                                     name="stem_skip")(identity)
+            else:
+                identity = nn.Conv(self.mid_ch, (1, 1, 1), kernel_init=ki,
+                                   dtype=self.dtype, name="stem_skip")(identity)
             h = identity + h
 
             out_ch = 128

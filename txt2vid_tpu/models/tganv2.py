@@ -168,6 +168,7 @@ class MultiScaleDiscrim(nn.Module):
     cond_head: str = "concat"    # "concat" (reference parity) | "proj" (see Resnet3D)
     init_method: str = "xavier"
     use_pallas: bool | None = None
+    stem_impl: str = "auto"      # C=1 stem formulation — see Resnet3D.stem_impl
     dtype: Any = None
     remat: bool = False
 
@@ -187,7 +188,8 @@ class MultiScaleDiscrim(nn.Module):
             return cls(num_channels=self.num_channels, cond_dim=self.cond_dim,
                        num_down_blocks=db, wide=self.wide, with_attn=self.with_attn,
                        cond_head=self.cond_head, init_method=self.init_method,
-                       use_pallas=self.use_pallas, dtype=self.dtype, name=name)
+                       use_pallas=self.use_pallas, stem_impl=self.stem_impl,
+                       dtype=self.dtype, name=name)
 
         if self.single_discrim:
             shared = make(self.discrim_down_blocks[-1], "discrim")
