@@ -125,6 +125,32 @@ class TestCheckpoint:
                                       state["params"]["w"])
         assert int(restored["step"]) == 7
 
+    def test_restore_casts_to_template_dtype(self, tmp_path):
+        """Moment STORAGE formats (--bf16/--bf16_nu) are run-config, not state
+        identity: an f32-trail checkpoint must restore into a bf16-moment
+        template with the template's dtypes (else the jitted step's input
+        signature changes after the first update and forces a recompile)."""
+        import jax.numpy as jnp
+
+        state = {"mu": np.arange(6, dtype=np.float32).reshape(2, 3),
+                 "step": np.int32(7)}
+        path = tmp_path / checkpoint_name(7, 0.0, 0.0)
+        save_state(state, str(path))
+        template = {"mu": jnp.zeros((2, 3), jnp.bfloat16),
+                    "step": np.int32(0)}
+        restored = restore_state(template, str(path))
+        assert restored["mu"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(restored["mu"], np.float32), state["mu"])
+        assert int(restored["step"]) == 7
+        # and the reverse direction (bf16 trail -> f32 config)
+        save_state({"mu": state["mu"].astype(jnp.bfloat16),
+                    "step": np.int32(9)}, str(path))
+        r2 = restore_state({"mu": np.zeros((2, 3), np.float32),
+                            "step": np.int32(0)}, str(path))
+        assert r2["mu"].dtype == np.float32
+        assert int(r2["step"]) == 9
+
     def test_latest(self, tmp_path):
         for it in (100, 300, 200):
             (tmp_path / checkpoint_name(it, 0.0, 0.0)).write_bytes(b"x")

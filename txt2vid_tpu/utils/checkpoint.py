@@ -102,10 +102,25 @@ class AsyncCheckpointer:
 
 
 def restore_state(template, path: str):
-    """Restore into the structure of `template` (an initialized state)."""
+    """Restore into the structure of `template` (an initialized state).
+
+    Leaves are cast to the template's dtypes: optimizer-moment STORAGE formats
+    (--bf16 / --bf16_nu, ops/optim.py adam_storage) are run-config, not
+    state identity — an f32-trail checkpoint must resume under a bf16-moment
+    config (and vice versa) without changing the jitted step's input
+    signature mid-run (a dtype mismatch forces a second 13-15 min flagship
+    compile after the first step re-materializes the moments in the
+    config's dtype)."""
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(template, data)
+    restored = serialization.from_bytes(template, data)
+
+    def cast_like(t, r):
+        if hasattr(t, "dtype") and hasattr(r, "dtype") and r.dtype != t.dtype:
+            return r.astype(t.dtype)
+        return r
+
+    return jax.tree_util.tree_map(cast_like, template, restored)
 
 
 def restore_txt_vars(path: str):
