@@ -78,12 +78,24 @@ class _C1Conv3d(nn.Module):
         return y + bias
 
 
-def _resolve_stem_impl(impl: str) -> str:
-    """"auto" -> the measured winner, overridable per-process for forensics
-    (the flagship D-backward's finiteness has flipped with program composition
-    before — gan/train_step.py notes — so a no-code-change fallback matters)."""
+def _resolve_stem_impl(impl: str, x_shape) -> str:
+    """"auto" -> the measured per-shape winner, overridable per-process for
+    forensics (the flagship D-backward's finiteness has flipped with program
+    composition before — gan/train_step.py notes — so a no-code-change
+    fallback matters).
+
+    Measurement (scripts/probe_stem_fold2.py on TPU v5e, fwd+bwd, fresh
+    inputs per iteration): at the flagship pyramid's 128px scale the einsum
+    formulation is 3.0-3.6x faster than the conv (2.4-2.9 ms vs 8.6-8.8 ms,
+    f32/bf16) — the C=1 im2col lane-padding tax scales with spatial size —
+    while at the 32px/64px scales the conv matches or beats it (the patch
+    stack's materialization dominates there). So "auto" folds only stems
+    whose spatial extent reaches 128."""
     impl = os.environ.get("TXT2VID_STEM_IMPL", impl)
-    return "einsum" if impl == "auto" else impl
+    if impl != "auto":
+        return impl
+    h, w = x_shape[2], x_shape[3]
+    return "einsum" if max(h, w) >= 128 else "conv"
 
 
 def _avg_pool_122_s2(x):
@@ -133,7 +145,7 @@ class Resnet3D(nn.Module):
             # stem residual block. For C=1 inputs the first conv and the skip
             # conv use the padding-free formulation (_C1Conv3d) — identical
             # params and math, ~4x less HBM traffic at the flagship shape.
-            stem_impl = _resolve_stem_impl(self.stem_impl)
+            stem_impl = _resolve_stem_impl(self.stem_impl, x.shape)
             if x.shape[-1] == 1 and stem_impl != "conv":
                 h = _C1Conv3d(self.mid_ch, (3, 3, 3), kernel_init=ki_res,
                               impl=stem_impl, dtype=self.dtype,
