@@ -22,6 +22,19 @@ from txt2vid_tpu.utils.cache import setup_compile_cache
 # backend — and jax.distributed.initialize (--multihost) must run before any
 # backend touch. main() calls it right after maybe_init_distributed.
 
+# TRAINING pins the C=1 stem to the conv formulation unless the user
+# overrides: the folded (einsum) stem only wins at >=128px spatial
+# (models/resnet3d.py _resolve_stem_impl), and at the one known >=128px
+# TRAINING composition — the 3-scale cond-128 flagship — the einsum-stem
+# D backward NaN-aborted the resume window at 2 of 3 seeds on the TPU
+# backend (the third trained, with |g|D elevated ~20x over the conv-stem
+# band — RESULTS.md round 8), while the conv-stem program is the proven
+# recipe. At this shape every composition change is guilty until measured
+# (the r3/r4 miscompile family), so the trainer defaults to the proven
+# program; forward-only surfaces (sample/serve/eval) keep "auto" and its
+# measured 3x 128px win.
+os.environ.setdefault("TXT2VID_STEM_IMPL", "conv")
+
 import optax
 
 from txt2vid_tpu.config import create_object
