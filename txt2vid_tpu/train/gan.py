@@ -26,10 +26,10 @@ from txt2vid_tpu.utils.cache import setup_compile_cache
 # overrides: the folded (einsum) stem only wins at >=128px spatial
 # (models/resnet3d.py _resolve_stem_impl), and at the one known >=128px
 # TRAINING composition — the 3-scale cond-128 flagship — the einsum-stem
-# D backward NaN-aborted the resume window at 2 of 3 seeds on the TPU
-# backend (the third trained, with |g|D elevated ~20x over the conv-stem
-# band — RESULTS.md round 8), while the conv-stem program is the proven
-# recipe. At this shape every composition change is guilty until measured
+# D backward NaN-aborted the resume window at both seeds tried on the TPU
+# backend while the conv-stem program resumed and trained at the same
+# point (RESULTS.md round 8). At this shape every composition change is
+# guilty until measured
 # (the r3/r4 miscompile family), so the trainer defaults to the proven
 # program; forward-only surfaces (sample/serve/eval) keep "auto" and its
 # measured 3x 128px win.
